@@ -1,0 +1,43 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (the standard JAX recipe for
+multi-chip testing without a pod, SURVEY.md §4.4) and with x64 enabled
+so op unit tests can compare against the reference's double-precision
+oracles at ~1e-12.  Library code always derives dtypes from its inputs,
+so enabling x64 here does not change f32 behavior.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+# persistent compile cache: repeat test runs skip XLA compilation
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpuflow-jax-cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np
+import pytest
+
+GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+
+@pytest.fixture(scope="session")
+def ops_goldens():
+    return {
+        tag: dict(np.load(os.path.join(GOLDENS, f"ops_{tag}.npz")))
+        for tag in ("a", "b")
+    }
+
+
+@pytest.fixture(scope="session")
+def solver_goldens():
+    return dict(np.load(os.path.join(GOLDENS, "solvers.npz")))

@@ -1,0 +1,210 @@
+// Golden-output harness: links against the reference library (libof.a,
+// built from /root/reference/src by tools/build_reference.sh) and dumps
+// raw float64 outputs of individual operators/solvers so the JAX
+// implementation can be unit-tested against exact oracles.
+//
+// Usage (all arrays are raw little-endian float64, row-major, ny*nx):
+//   ref_harness centered_gradient in ny nx out_dx out_dy
+//   ref_harness forward_gradient  in ny nx out_fx out_fy
+//   ref_harness divergence        v1 v2 ny nx out
+//   ref_harness dxx|dyy|dxy       in ny nx nz out
+//   ref_harness gaussian          in ny nx sigma bc out
+//   ref_harness warp              in u v ny nx border_out out
+//   ref_harness zoom_out          in ny nx factor out        (out is nyy*nxx)
+//   ref_harness zoom_in           in ny nx nxx nyy out
+//   ref_harness median            in ny nx wsize out
+//   ref_harness normalize2        i0 i1 n out0 out1
+//   ref_harness hs_classic        i0 i1 ny nx niter alpha out_u out_v
+//   ref_harness hs_flow           i0 i1 ny nx alpha warps tol maxiter out_u out_v
+//   ref_harness hs_pyramidal      i0 i1 ny nx alpha nscales zfactor warps tol maxiter out_u out_v
+//   ref_harness tvl1_scale        i0 i1 ny nx tau lambda theta warps epsilon out_u out_v
+//   ref_harness tvl1_multi        i0 i1 ny nx tau lambda theta nscales zfactor warps epsilon out_u out_v
+//
+// Run with OMP_NUM_THREADS=1: the reference's OpenMP SOR sweeps are
+// order-dependent, so single-threaded runs are the deterministic oracle.
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "of.h"
+#include "operators.h"
+#include "bicubic_interpolation.h"
+#include "zoom.h"
+#include "utils.h"
+#include "horn_schunck.h"
+#include "tvl1flow.h"
+
+static std::vector<double> load(const char *path, size_t n) {
+    std::vector<double> v(n);
+    FILE *f = fopen(path, "rb");
+    if (!f || fread(v.data(), sizeof(double), n, f) != n) {
+        fprintf(stderr, "failed to read %zu doubles from %s\n", n, path);
+        exit(1);
+    }
+    fclose(f);
+    return v;
+}
+
+static void save(const char *path, const double *v, size_t n) {
+    FILE *f = fopen(path, "wb");
+    if (!f || fwrite(v, sizeof(double), n, f) != n) {
+        fprintf(stderr, "failed to write %s\n", path);
+        exit(1);
+    }
+    fclose(f);
+}
+
+int main(int argc, char **argv) {
+    if (argc < 2) { fprintf(stderr, "usage: ref_harness <op> ...\n"); return 1; }
+    std::string op = argv[1];
+
+    if (op == "centered_gradient" || op == "forward_gradient") {
+        int ny = atoi(argv[3]), nx = atoi(argv[4]);
+        size_t n = (size_t)nx * ny;
+        auto in = load(argv[2], n);
+        std::vector<double> dx(n), dy(n);
+        if (op == "centered_gradient")
+            centered_gradient(in.data(), dx.data(), dy.data(), nx, ny, 1);
+        else
+            forward_gradient(in.data(), dx.data(), dy.data(), nx, ny);
+        save(argv[5], dx.data(), n);
+        save(argv[6], dy.data(), n);
+    } else if (op == "divergence") {
+        int ny = atoi(argv[4]), nx = atoi(argv[5]);
+        size_t n = (size_t)nx * ny;
+        auto v1 = load(argv[2], n), v2 = load(argv[3], n);
+        std::vector<double> out(n);
+        divergence(v1.data(), v2.data(), out.data(), nx, ny);
+        save(argv[6], out.data(), n);
+    } else if (op == "dxx" || op == "dyy" || op == "dxy") {
+        int ny = atoi(argv[3]), nx = atoi(argv[4]), nz = atoi(argv[5]);
+        size_t n = (size_t)nx * ny * nz;
+        auto in = load(argv[2], n);
+        std::vector<double> out(n);
+        if (op == "dxx") Dxx(in.data(), out.data(), nx, ny, nz);
+        else if (op == "dyy") Dyy(in.data(), out.data(), nx, ny, nz);
+        else Dxy(in.data(), out.data(), nx, ny, nz);
+        save(argv[6], out.data(), n);
+    } else if (op == "gaussian") {
+        int ny = atoi(argv[3]), nx = atoi(argv[4]);
+        double sigma = atof(argv[5]);
+        int bc = atoi(argv[6]);
+        size_t n = (size_t)nx * ny;
+        auto in = load(argv[2], n);
+        gaussian(in.data(), nx, ny, sigma, bc);
+        save(argv[7], in.data(), n);
+    } else if (op == "warp") {
+        int ny = atoi(argv[5]), nx = atoi(argv[6]);
+        int border_out = atoi(argv[7]);
+        size_t n = (size_t)nx * ny;
+        auto in = load(argv[2], n), u = load(argv[3], n), v = load(argv[4], n);
+        std::vector<double> out(n);
+        bicubic_interpolation_warp(in.data(), u.data(), v.data(), out.data(),
+                                   nx, ny, border_out != 0);
+        save(argv[8], out.data(), n);
+    } else if (op == "zoom_out") {
+        int ny = atoi(argv[3]), nx = atoi(argv[4]);
+        double factor = atof(argv[5]);
+        size_t n = (size_t)nx * ny;
+        auto in = load(argv[2], n);
+        int nxx, nyy;
+        zoom_size(nx, ny, &nxx, &nyy, factor);
+        std::vector<double> out((size_t)nxx * nyy);
+        zoom_out(in.data(), out.data(), nx, ny, factor);
+        save(argv[6], out.data(), out.size());
+        printf("%d %d\n", nxx, nyy);
+    } else if (op == "zoom_in") {
+        int ny = atoi(argv[3]), nx = atoi(argv[4]);
+        int nxx = atoi(argv[5]), nyy = atoi(argv[6]);
+        auto in = load(argv[2], (size_t)nx * ny);
+        std::vector<double> out((size_t)nxx * nyy);
+        zoom_in(in.data(), out.data(), nx, ny, nxx, nyy);
+        save(argv[7], out.data(), out.size());
+    } else if (op == "median") {
+        int ny = atoi(argv[3]), nx = atoi(argv[4]), wsize = atoi(argv[5]);
+        size_t n = (size_t)nx * ny;
+        auto in = load(argv[2], n);
+        me_median_filtering(in.data(), nx, ny, wsize);
+        save(argv[6], in.data(), n);
+    } else if (op == "normalize2") {
+        size_t n = (size_t)atol(argv[4]);
+        auto i0 = load(argv[2], n), i1 = load(argv[3], n);
+        std::vector<double> o0(n), o1(n);
+        image_normalization_2(i0.data(), i1.data(), o0.data(), o1.data(), (int)n);
+        save(argv[5], o0.data(), n);
+        save(argv[6], o1.data(), n);
+    } else if (op == "hs_classic") {
+        int ny = atoi(argv[4]), nx = atoi(argv[5]);
+        int niter = atoi(argv[6]);
+        double alpha = atof(argv[7]);
+        size_t n = (size_t)nx * ny;
+        auto i0 = load(argv[2], n), i1 = load(argv[3], n);
+        std::vector<double> u(n), v(n);
+        hs(u.data(), v.data(), i0.data(), i1.data(), nx, ny, niter, alpha);
+        save(argv[8], u.data(), n);
+        save(argv[9], v.data(), n);
+    } else if (op == "hs_flow") {
+        int ny = atoi(argv[4]), nx = atoi(argv[5]);
+        double alpha = atof(argv[6]);
+        int warps = atoi(argv[7]);
+        double tol = atof(argv[8]);
+        int maxiter = atoi(argv[9]);
+        size_t n = (size_t)nx * ny;
+        auto i0 = load(argv[2], n), i1 = load(argv[3], n);
+        std::vector<double> u(n, 0.0), v(n, 0.0);
+        horn_schunck_optical_flow(i0.data(), i1.data(), u.data(), v.data(),
+                                  nx, ny, alpha, warps, tol, maxiter, false);
+        save(argv[10], u.data(), n);
+        save(argv[11], v.data(), n);
+    } else if (op == "hs_pyramidal") {
+        int ny = atoi(argv[4]), nx = atoi(argv[5]);
+        double alpha = atof(argv[6]);
+        int nscales = atoi(argv[7]);
+        double zfactor = atof(argv[8]);
+        int warps = atoi(argv[9]);
+        double tol = atof(argv[10]);
+        int maxiter = atoi(argv[11]);
+        size_t n = (size_t)nx * ny;
+        auto i0 = load(argv[2], n), i1 = load(argv[3], n);
+        std::vector<double> u(n, 0.0), v(n, 0.0);
+        horn_schunck_pyramidal(i0.data(), i1.data(), u.data(), v.data(),
+                               nx, ny, alpha, nscales, zfactor, warps,
+                               tol, maxiter, false);
+        save(argv[12], u.data(), n);
+        save(argv[13], v.data(), n);
+    } else if (op == "tvl1_scale") {
+        int ny = atoi(argv[4]), nx = atoi(argv[5]);
+        double tau = atof(argv[6]), lambda = atof(argv[7]), theta = atof(argv[8]);
+        int warps = atoi(argv[9]);
+        double epsilon = atof(argv[10]);
+        size_t n = (size_t)nx * ny;
+        auto i0 = load(argv[2], n), i1 = load(argv[3], n);
+        std::vector<double> u(n, 0.0), v(n, 0.0);
+        Dual_TVL1_optic_flow(i0.data(), i1.data(), u.data(), v.data(), nx, ny,
+                             tau, lambda, theta, warps, epsilon, false);
+        save(argv[11], u.data(), n);
+        save(argv[12], v.data(), n);
+    } else if (op == "tvl1_multi") {
+        int ny = atoi(argv[4]), nx = atoi(argv[5]);
+        double tau = atof(argv[6]), lambda = atof(argv[7]), theta = atof(argv[8]);
+        int nscales = atoi(argv[9]);
+        double zfactor = atof(argv[10]);
+        int warps = atoi(argv[11]);
+        double epsilon = atof(argv[12]);
+        size_t n = (size_t)nx * ny;
+        auto i0 = load(argv[2], n), i1 = load(argv[3], n);
+        std::vector<double> u(n, 0.0), v(n, 0.0);
+        Dual_TVL1_optic_flow_multiscale(i0.data(), i1.data(), u.data(), v.data(),
+                                        nx, ny, tau, lambda, theta, nscales,
+                                        zfactor, warps, epsilon, false);
+        save(argv[13], u.data(), n);
+        save(argv[14], v.data(), n);
+    } else {
+        fprintf(stderr, "unknown op %s\n", op.c_str());
+        return 1;
+    }
+    return 0;
+}
