@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""tpuflow benchmark driver.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Headline metric (BASELINE.json): TV-L1 flow fields/sec/chip at 1024x436
+with the reference CLI's default parameters (tau=0.25 lambda=0.15
+theta=0.3 nscales auto-clamped to 7, zfactor=0.5, 5 warps,
+epsilon=0.01, data-dependent stopping).
+
+`vs_baseline` compares against the reference C++/OpenMP binary measured
+on this container's CPU (see tools/bench_reference.py; value cached in
+BASELINE_MEASURED below after first measurement).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+# Reference `tvl1flow` binary, default params, 1024x436 synthetic pair,
+# 2-vCPU container, OMP all cores: measured by tools/bench_reference.py.
+BASELINE_MEASURED_FPS = None  # filled in by tools/bench_reference.py output
+
+
+def synth_pair(ny=436, nx=1024, seed=7):
+    rng = np.random.default_rng(seed)
+    noise = rng.standard_normal((ny, nx))
+    fy = np.fft.fftfreq(ny)[:, None]
+    fx = np.fft.fftfreq(nx)[None, :]
+    base = np.real(np.fft.ifft2(np.fft.fft2(noise) * np.exp(-(fx**2 + fy**2) * 800.0)))
+    base = 128 + 100 * base / np.abs(base).max()
+    u = 2.0 * np.sin(np.linspace(0, 3, nx))[None, :] * np.ones((ny, 1))
+    v = 1.5 * np.cos(np.linspace(0, 2, ny))[:, None] * np.ones((1, nx))
+    yy, xx = np.mgrid[0:ny, 0:nx].astype(np.float64)
+    sx = np.clip(xx + u, 0, nx - 1)
+    sy = np.clip(yy + v, 0, ny - 1)
+    x0 = np.clip(np.floor(sx).astype(int), 0, nx - 2)
+    y0 = np.clip(np.floor(sy).astype(int), 0, ny - 2)
+    fx_ = sx - x0
+    fy_ = sy - y0
+    I1 = (base[y0, x0] * (1 - fx_) * (1 - fy_) + base[y0, x0 + 1] * fx_ * (1 - fy_)
+          + base[y0 + 1, x0] * (1 - fx_) * fy_ + base[y0 + 1, x0 + 1] * fx_ * fy_)
+    return base.astype(np.float32), I1.astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpuflow.models.tvl1 import tvl1_multiscale
+
+    I0_np, I1_np = synth_pair()
+    I0 = jnp.asarray(I0_np)
+    I1 = jnp.asarray(I1_np)
+
+    def run():
+        u, v = tvl1_multiscale(I0, I1)  # reference-default params
+        return u.block_until_ready(), v
+
+    run()  # warmup/compile
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        run()
+    dt = (time.perf_counter() - t0) / n
+    fps = 1.0 / dt
+
+    vs = fps / BASELINE_MEASURED_FPS if BASELINE_MEASURED_FPS else None
+    print(json.dumps({
+        "metric": "tvl1_fields_per_sec_1024x436",
+        "value": round(fps, 3),
+        "unit": "fields/s/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,6 @@ so enabling x64 here does not change f32 behavior.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -19,9 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# force CPU via jax.config: this container's sitecustomize registers the
+# axon TPU plugin and pins jax_platforms=axon, so the env var alone is
+# not enough
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: repeat test runs skip XLA compilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpuflow-jax-cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpuflow-jax-cache-cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np

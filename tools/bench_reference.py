@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Measure the reference binaries' CPU throughput to anchor vs_baseline.
+
+Builds (if needed) via tools/build_reference.sh, generates the same
+synthetic 1024x436 pair bench.py uses, writes it as PGM, and times the
+reference `tvl1flow` and `horn_schunck_pyramidal` CLIs with default
+parameters using all CPU cores.
+"""
+
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import synth_pair
+import imageio.v3 as iio_lib
+
+BUILD = os.environ.get("REF_BUILD", "/tmp/refbuild")
+
+
+def main():
+    if not os.path.exists(os.path.join(BUILD, "tvl1flow")):
+        subprocess.run(["bash", os.path.join(os.path.dirname(__file__),
+                                             "build_reference.sh")], check=True)
+    I0, I1 = synth_pair()
+    with tempfile.TemporaryDirectory() as d:
+        p0 = os.path.join(d, "i0.png")
+        p1 = os.path.join(d, "i1.png")
+        iio_lib.imwrite(p0, I0.clip(0,255).astype("uint8"))
+        iio_lib.imwrite(p1, I1.clip(0,255).astype("uint8"))
+        for name, cmd in (
+            ("tvl1flow", [os.path.join(BUILD, "tvl1flow"), p0, p1,
+                          os.path.join(d, "f.flo")]),
+            ("horn_schunck_pyramidal", [os.path.join(BUILD, "horn_schunck_pyramidal"),
+                                        p0, p1, os.path.join(d, "g.flo")]),
+        ):
+            t0 = time.perf_counter()
+            subprocess.run(cmd, check=True)
+            dt = time.perf_counter() - t0
+            print(f"{name}: {dt:.2f} s/field = {1.0/dt:.4f} fields/s "
+                  f"(cores={os.cpu_count()})")
+
+
+if __name__ == "__main__":
+    main()

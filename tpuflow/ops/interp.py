@@ -61,14 +61,26 @@ def bicubic_at(img, xx, yy, border_out=False):
     return warp_stack(img[None], xx, yy, border_out)[0]
 
 
-def warp_stack(planes, xx, yy, border_out=False):
+def warp_stack(planes, xx, yy, border_out=False, window=None):
     """Bicubic-sample a stack of planes (N, H, W) at shared coordinates.
 
     The tap-index/weight computation is shared across planes; each plane
     costs only its 16 gathers.  Returns (N,) + xx.shape.
+
+    `window=(origin_y, origin_x, global_ny, global_nx)` supports tiled
+    execution: `planes` then holds only the window starting at the given
+    global origin, while coordinates/clamping/out-of-domain detection
+    use the GLOBAL extent (tpuflow.parallel feeds halo-padded tiles
+    through this).  Taps falling outside the window clamp to its rim —
+    exact whenever the halo covers the displacement.
     """
-    n_planes, ny, nx = planes.shape
+    n_planes, wny, wnx = planes.shape
     dtype = planes.dtype
+    if window is None:
+        oy = ox = 0
+        ny, nx = wny, wnx
+    else:
+        oy, ox, ny, nx = window
 
     cx, xs, out_x, sx = _tap_indices(xx, nx)
     # reference bug: the y minus-neighbor offset uses sx, replicate it
@@ -86,9 +98,13 @@ def warp_stack(planes, xx, yy, border_out=False):
     fx = (xx - cx.astype(dtype)).astype(dtype)
     fy = (yy - cy.astype(dtype)).astype(dtype)
 
-    flat = planes.reshape(n_planes, ny * nx)
+    if window is not None:
+        xs = [jnp.clip(x - ox, 0, wnx - 1) for x in xs]
+        ys = [jnp.clip(y - oy, 0, wny - 1) for y in ys]
+
+    flat = planes.reshape(n_planes, wny * wnx)
     # linear indices for the 16 taps, shared by all planes
-    lin = [[(ys[m] * nx + xs[l]).ravel() for m in range(4)] for l in range(4)]
+    lin = [[(ys[m] * wnx + xs[l]).ravel() for m in range(4)] for l in range(4)]
 
     results = []
     for p in range(n_planes):
