@@ -202,6 +202,26 @@ def main():
         )
         print("solvers.npz done")
 
+        # ---- Brox spatial goldens (same input pair; multiscale entry
+        # point covers both single-scale nscales=1 and pyramid runs)
+        o1, o2 = t.out(), t.out()
+        run(["brox_spatial", p0, p1, ny, nx, 50.0, 10.0, 1, 0.5,
+             0.0001, 1, 15, o1, o2])
+        bs1_u, bs1_v = t.get(o1, (ny, nx)), t.get(o2, (ny, nx))
+
+        o1, o2 = t.out(), t.out()
+        run(["brox_spatial", p0, p1, ny, nx, 50.0, 10.0, 3, 0.5,
+             0.0001, 1, 15, o1, o2])
+        bs3_u, bs3_v = t.get(o1, (ny, nx)), t.get(o2, (ny, nx))
+
+        np.savez_compressed(
+            os.path.join(GOLD, "brox.npz"),
+            I0=I0, I1=I1, true_u=tu, true_v=tv,
+            spatial_s1_u=bs1_u, spatial_s1_v=bs1_v,
+            spatial_s3_u=bs3_u, spatial_s3_v=bs3_v,
+        )
+        print("brox.npz done")
+
 
 if __name__ == "__main__":
     sys.exit(main())

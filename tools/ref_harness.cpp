@@ -36,6 +36,9 @@
 #include "utils.h"
 #include "horn_schunck.h"
 #include "tvl1flow.h"
+#include "brox_optic_flow.h"
+#include "robust_expo_methods.h"
+#include "tvl1occflow.h"
 
 static std::vector<double> load(const char *path, size_t n) {
     std::vector<double> v(n);
@@ -202,6 +205,86 @@ int main(int argc, char **argv) {
                                         zfactor, warps, epsilon, false);
         save(argv[13], u.data(), n);
         save(argv[14], v.data(), n);
+    } else if (op == "brox_spatial") {
+        // brox_spatial i0 i1 ny nx alpha gamma nscales zfactor tol inner outer out_u out_v
+        int ny = atoi(argv[4]), nx = atoi(argv[5]);
+        double alpha = atof(argv[6]), gamma = atof(argv[7]);
+        int nscales = atoi(argv[8]);
+        double zfactor = atof(argv[9]), tol = atof(argv[10]);
+        int inner = atoi(argv[11]), outer = atoi(argv[12]);
+        size_t n = (size_t)nx * ny;
+        auto i0 = load(argv[2], n), i1 = load(argv[3], n);
+        std::vector<double> u(n, 0.0), v(n, 0.0);
+        brox_optic_flow_spatial(i0.data(), i1.data(), u.data(), v.data(),
+                                nx, ny, alpha, gamma, nscales, zfactor,
+                                tol, inner, outer, false);
+        save(argv[13], u.data(), n);
+        save(argv[14], v.data(), n);
+    } else if (op == "brox_temporal") {
+        // brox_temporal ivol ny nx frames alpha gamma nscales zfactor tol inner outer out_u out_v
+        int ny = atoi(argv[3]), nx = atoi(argv[4]), frames = atoi(argv[5]);
+        double alpha = atof(argv[6]), gamma = atof(argv[7]);
+        int nscales = atoi(argv[8]);
+        double zfactor = atof(argv[9]), tol = atof(argv[10]);
+        int inner = atoi(argv[11]), outer = atoi(argv[12]);
+        size_t n = (size_t)nx * ny * frames;
+        auto ivol = load(argv[2], n);
+        std::vector<double> u(n, 0.0), v(n, 0.0);
+        brox_optic_flow_temporal(ivol.data(), u.data(), v.data(),
+                                 nx, ny, frames, alpha, gamma, nscales,
+                                 zfactor, tol, inner, outer, false);
+        save(argv[13], u.data(), n);
+        save(argv[14], v.data(), n);
+    } else if (op == "robust_expo") {
+        // robust_expo i0 i1 ny nx nz method alpha gamma lambda nscales zfactor tol inner outer out_u out_v
+        int ny = atoi(argv[4]), nx = atoi(argv[5]), nz = atoi(argv[6]);
+        int method = atoi(argv[7]);
+        double alpha = atof(argv[8]), gamma = atof(argv[9]), lambda = atof(argv[10]);
+        int nscales = atoi(argv[11]);
+        double zfactor = atof(argv[12]), tol = atof(argv[13]);
+        int inner = atoi(argv[14]), outer = atoi(argv[15]);
+        size_t n = (size_t)nx * ny * nz;
+        auto i0 = load(argv[2], n), i1 = load(argv[3], n);
+        std::vector<double> u((size_t)nx * ny, 0.0), v((size_t)nx * ny, 0.0);
+        robust_expo_methods(i0.data(), i1.data(), u.data(), v.data(),
+                            nx, ny, nz, method, alpha, gamma, lambda,
+                            nscales, zfactor, tol, inner, outer, false);
+        save(argv[16], u.data(), u.size());
+        save(argv[17], v.data(), v.size());
+    } else if (op == "tvl1occ_scale" || op == "tvl1occ_multi") {
+        // tvl1occ_scale im1 i0 i1 filt ny nx lambda alpha beta theta warps epsilon out_u out_v out_chi
+        // tvl1occ_multi im1 i0 i1 filt ny nx lambda alpha beta theta nscales zfactor warps epsilon out_u out_v out_chi
+        int ny = atoi(argv[6]), nx = atoi(argv[7]);
+        double lambda = atof(argv[8]), alpha = atof(argv[9]);
+        double beta = atof(argv[10]), theta = atof(argv[11]);
+        size_t n = (size_t)nx * ny;
+        auto im1 = load(argv[2], n), i0 = load(argv[3], n);
+        auto i1 = load(argv[4], n), filt = load(argv[5], n);
+        std::vector<double> u(n, 0.0), v(n, 0.0), chi(n, 0.0);
+        if (op == "tvl1occ_scale") {
+            int warps = atoi(argv[12]);
+            double epsilon = atof(argv[13]);
+            Dual_TVL1_optic_flow(im1.data(), i0.data(), i1.data(), filt.data(),
+                                 u.data(), v.data(), chi.data(), nx, ny,
+                                 lambda, alpha, beta, theta, warps, epsilon,
+                                 false);
+            save(argv[14], u.data(), n);
+            save(argv[15], v.data(), n);
+            save(argv[16], chi.data(), n);
+        } else {
+            int nscales = atoi(argv[12]);
+            double zfactor = atof(argv[13]);
+            int warps = atoi(argv[14]);
+            double epsilon = atof(argv[15]);
+            Dual_TVL1_optic_flow_multiscale(im1.data(), i0.data(), i1.data(),
+                                            filt.data(), u.data(), v.data(),
+                                            chi.data(), nx, ny, lambda, alpha,
+                                            beta, theta, nscales, zfactor,
+                                            warps, epsilon, false);
+            save(argv[16], u.data(), n);
+            save(argv[17], v.data(), n);
+            save(argv[18], chi.data(), n);
+        }
     } else {
         fprintf(stderr, "unknown op %s\n", op.c_str());
         return 1;
