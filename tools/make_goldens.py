@@ -222,6 +222,36 @@ def main():
         )
         print("brox.npz done")
 
+        # ---- robust_expo goldens: grayscale multiscale x 3 methods,
+        # RGB (interleaved) single-scale
+        re = {"I0": I0, "I1": I1, "true_u": tu, "true_v": tv}
+        for m in (1, 2, 3):
+            o1, o2 = t.out(), t.out()
+            run(["robust_expo", p0, p1, ny, nx, 1, m, 50.0, 10.0, 0.2,
+                 3, 0.5, 0.0001, 1, 15, o1, o2])
+            re[f"gray_m{m}_u"] = t.get(o1, (ny, nx))
+            re[f"gray_m{m}_v"] = t.get(o2, (ny, nx))
+
+        # RGB pair: base pair plus two channel variants moved by the
+        # same flow
+        rgb0 = np.stack([I0,
+                         128 + 0.7 * (I0 - 128),
+                         128 - 0.5 * (I0 - 128)], axis=-1)
+        rgb1 = np.stack([I1,
+                         128 + 0.7 * (I1 - 128),
+                         128 - 0.5 * (I1 - 128)], axis=-1)
+        pr0, pr1 = t.put(rgb0), t.put(rgb1)
+        o1, o2 = t.out(), t.out()
+        run(["robust_expo", pr0, pr1, ny, nx, 3, 1, 50.0, 10.0, 0.2,
+             1, 0.5, 0.0001, 1, 15, o1, o2])
+        re["rgb0"] = rgb0
+        re["rgb1"] = rgb1
+        re["rgb_m1_u"] = t.get(o1, (ny, nx))
+        re["rgb_m1_v"] = t.get(o2, (ny, nx))
+
+        np.savez_compressed(os.path.join(GOLD, "robust_expo.npz"), **re)
+        print("robust_expo.npz done")
+
 
 if __name__ == "__main__":
     sys.exit(main())
