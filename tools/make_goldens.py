@@ -252,6 +252,37 @@ def main():
         np.savez_compressed(os.path.join(GOLD, "robust_expo.npz"), **re)
         print("robust_expo.npz done")
 
+        # ---- Brox temporal goldens: 4-frame sequence (3 flow fields)
+        nyt, nxt = 48, 64
+        frames = 4
+        baset = 128.0 + 100.0 * smooth_field((nyt + 12, nxt + 12), rng, scale=6.0)
+        ut = smooth_field((nyt, nxt), rng, scale=12.0, amp=1.2)
+        vt = smooth_field((nyt, nxt), rng, scale=12.0, amp=1.2)
+        # frame f = base window translated by f*(ut, vt) (smooth motion)
+        yy, xx = np.mgrid[0:nyt, 0:nxt].astype(np.float64)
+        vol = np.empty((frames, nyt, nxt))
+        for f in range(frames):
+            sx = np.clip(xx + 6 + f * ut, 0, nxt + 10)
+            sy = np.clip(yy + 6 + f * vt, 0, nyt + 10)
+            x0 = np.clip(np.floor(sx).astype(int), 0, nxt + 10)
+            y0 = np.clip(np.floor(sy).astype(int), 0, nyt + 10)
+            fx = sx - x0
+            fy = sy - y0
+            vol[f] = (baset[y0, x0] * (1 - fx) * (1 - fy)
+                      + baset[y0, x0 + 1] * fx * (1 - fy)
+                      + baset[y0 + 1, x0] * (1 - fx) * fy
+                      + baset[y0 + 1, x0 + 1] * fx * fy)
+        pv = t.put(vol)
+        bt = {"vol": vol, "true_u": ut, "true_v": vt}
+        for ns, tag in ((1, "s1"), (2, "s2")):
+            o1, o2 = t.out(), t.out()
+            run(["brox_temporal", pv, nyt, nxt, frames, 18.0, 7.0, ns,
+                 0.75, 0.0001, 1, 15, o1, o2])
+            bt[f"{tag}_u"] = t.get(o1, (frames - 1, nyt, nxt))
+            bt[f"{tag}_v"] = t.get(o2, (frames - 1, nyt, nxt))
+        np.savez_compressed(os.path.join(GOLD, "brox_temporal.npz"), **bt)
+        print("brox_temporal.npz done")
+
 
 if __name__ == "__main__":
     sys.exit(main())

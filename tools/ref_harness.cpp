@@ -228,13 +228,14 @@ int main(int argc, char **argv) {
         double zfactor = atof(argv[9]), tol = atof(argv[10]);
         int inner = atoi(argv[11]), outer = atoi(argv[12]);
         size_t n = (size_t)nx * ny * frames;
+        size_t n1 = (size_t)nx * ny * (frames - 1);
         auto ivol = load(argv[2], n);
-        std::vector<double> u(n, 0.0), v(n, 0.0);
+        std::vector<double> u(n1, 0.0), v(n1, 0.0);
         brox_optic_flow_temporal(ivol.data(), u.data(), v.data(),
                                  nx, ny, frames, alpha, gamma, nscales,
                                  zfactor, tol, inner, outer, false);
-        save(argv[13], u.data(), n);
-        save(argv[14], v.data(), n);
+        save(argv[13], u.data(), n1);
+        save(argv[14], v.data(), n1);
     } else if (op == "robust_expo") {
         // robust_expo i0 i1 ny nx nz method alpha gamma lambda nscales zfactor tol inner outer out_u out_v
         int ny = atoi(argv[4]), nx = atoi(argv[5]), nz = atoi(argv[6]);

@@ -1,4 +1,5 @@
 from tpuflow.models.brox_spatial import brox_scale, brox_spatial
+from tpuflow.models.brox_temporal import brox_temporal, brox_temporal_scale
 from tpuflow.models.hs_classic import hs_classic, hs_classic_jit
 from tpuflow.models.hs_pyramidal import hs_pyramidal, hs_scale
 from tpuflow.models.robust_expo import robust_expo, robust_expo_scale
