@@ -283,6 +283,71 @@ def main():
         np.savez_compressed(os.path.join(GOLD, "brox_temporal.npz"), **bt)
         print("brox_temporal.npz done")
 
+        # ---- tvl1occflow goldens: 3-frame triplet around I0
+        nyo, nxo = 64, 96
+        baseo = 128.0 + 100.0 * smooth_field((nyo + 12, nxo + 12), rng, scale=6.0)
+        uo = smooth_field((nyo, nxo), rng, scale=12.0, amp=2.0)
+        vo = smooth_field((nyo, nxo), rng, scale=12.0, amp=2.0)
+        yy, xx = np.mgrid[0:nyo, 0:nxo].astype(np.float64)
+        trip = []
+        for k in (-1, 0, 1):  # I_{-1}, I0, I1 under constant motion
+            sx = np.clip(xx + 6 + k * uo, 0, nxo + 10)
+            sy = np.clip(yy + 6 + k * vo, 0, nyo + 10)
+            x0 = np.floor(sx).astype(int)
+            y0 = np.floor(sy).astype(int)
+            fx = sx - x0
+            fy = sy - y0
+            trip.append(baseo[y0, x0] * (1 - fx) * (1 - fy)
+                        + baseo[y0, x0 + 1] * fx * (1 - fy)
+                        + baseo[y0 + 1, x0] * (1 - fx) * fy
+                        + baseo[y0 + 1, x0 + 1] * fx * fy)
+        om1, o0, o1i = trip
+        pm1, p0o, p1o = t.put(om1), t.put(o0), t.put(o1i)
+        oc = {"Im1": om1, "I0": o0, "I1": o1i, "true_u": uo, "true_v": vo}
+
+        ou, ov, och = t.out(), t.out(), t.out()
+        run(["tvl1occ_scale", pm1, p0o, p1o, p0o, nyo, nxo,
+             0.15, 0.01, 0.15, 0.3, 2, 0.01, ou, ov, och])
+        oc["s1_u"] = t.get(ou, (nyo, nxo))
+        oc["s1_v"] = t.get(ov, (nyo, nxo))
+        oc["s1_chi"] = t.get(och, (nyo, nxo))
+
+        ou, ov, och = t.out(), t.out(), t.out()
+        run(["tvl1occ_multi", pm1, p0o, p1o, p0o, nyo, nxo,
+             0.15, 0.01, 0.15, 0.3, 3, 0.5, 2, 0.01, ou, ov, och])
+        oc["m3_u"] = t.get(ou, (nyo, nxo))
+        oc["m3_v"] = t.get(ov, (nyo, nxo))
+        oc["m3_chi"] = t.get(och, (nyo, nxo))
+        np.savez_compressed(os.path.join(GOLD, "tvl1occ.npz"), **oc)
+        print("tvl1occ.npz done")
+
+        # ---- tvl1occflow with REAL occlusions: textured square moving
+        # right over a textured static background; the trailing band is
+        # occluded in I1 (visible in I0, covered in neither direction)
+        bg = 128.0 + 80.0 * smooth_field((nyo, nxo), rng, scale=4.0)
+        fg = 128.0 + 80.0 * smooth_field((nyo, nxo), rng, scale=3.0)
+        d = 5  # square displacement per frame (pixels, x direction)
+        y0s, y1s, x0s, x1s = 20, 44, 34, 58  # square in I0
+
+        def frame(shift):
+            img = bg.copy()
+            img[y0s:y1s, x0s + shift:x1s + shift] = \
+                fg[y0s:y1s, x0s:x1s]
+            return img
+
+        sIm1, sI0, sI1 = frame(-d), frame(0), frame(d)
+        ou, ov, och = t.out(), t.out(), t.out()
+        run(["tvl1occ_multi", t.put(sIm1), t.put(sI0), t.put(sI1),
+             t.put(sI0), nyo, nxo, 0.15, 0.01, 0.15, 0.3, 3, 0.5, 2,
+             0.01, ou, ov, och])
+        np.savez_compressed(
+            os.path.join(GOLD, "tvl1occ_square.npz"),
+            Im1=sIm1, I0=sI0, I1=sI1, disp=d,
+            square=np.array([y0s, y1s, x0s, x1s]),
+            u=t.get(ou, (nyo, nxo)), v=t.get(ov, (nyo, nxo)),
+            chi=t.get(och, (nyo, nxo)))
+        print("tvl1occ_square.npz done")
+
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -39,6 +39,9 @@
 #include "brox_optic_flow.h"
 #include "robust_expo_methods.h"
 #include "tvl1occflow.h"
+#include "tvl1occflow_tv_rof_box.h"
+#include "tvl1occflow_solvers.h"
+#include "tvl1occflow_constants.h"
 
 static std::vector<double> load(const char *path, size_t n) {
     std::vector<double> v(n);
@@ -286,6 +289,79 @@ int main(int argc, char **argv) {
             save(argv[17], v.data(), n);
             save(argv[18], chi.data(), n);
         }
+    } else if (op == "rof_box") {
+        // rof_box u f p1 p2 g ny nx lambda omega niter out_u out_p1 out_p2
+        int ny = atoi(argv[7]), nx = atoi(argv[8]);
+        double lambda = atof(argv[9]), omega = atof(argv[10]);
+        int niter = atoi(argv[11]);
+        size_t n = (size_t)nx * ny;
+        auto u = load(argv[2], n), f = load(argv[3], n);
+        auto p1 = load(argv[4], n), p2 = load(argv[5], n);
+        auto g = load(argv[6], n);
+        Scalar_ROF_BoxCellCentered(u.data(), f.data(), p1.data(), p2.data(),
+                                   g.data(), lambda, omega, nx, ny, niter);
+        save(argv[12], u.data(), n);
+        save(argv[13], p1.data(), n);
+        save(argv[14], p2.data(), n);
+    } else if (op == "occ_v") {
+        // occ_v u1 u2 chi I1wx I1wy Im1wx Im1wy rho1c rho3c grad1 grad3
+        //       ny nx alpha theta lambda out_v1 out_v2 out_v11 out_v12 out_v31 out_v32
+        int ny = atoi(argv[13]), nx = atoi(argv[14]);
+        double alpha = atof(argv[15]), theta = atof(argv[16]), lambda = atof(argv[17]);
+        size_t n = (size_t)nx * ny;
+        auto u1 = load(argv[2], n), u2 = load(argv[3], n), chi = load(argv[4], n);
+        auto a1 = load(argv[5], n), a2 = load(argv[6], n);
+        auto b1 = load(argv[7], n), b2 = load(argv[8], n);
+        auto r1 = load(argv[9], n), r3 = load(argv[10], n);
+        auto g1 = load(argv[11], n), g3 = load(argv[12], n);
+        std::vector<double> v1(n), v2(n), v11(n), v12(n), v31(n), v32(n);
+        Solver_wrt_v(u1.data(), u2.data(), v1.data(), v2.data(), chi.data(),
+                     a1.data(), a2.data(), b1.data(), b2.data(),
+                     r1.data(), r3.data(), v11.data(), v12.data(),
+                     v31.data(), v32.data(), g1.data(), g3.data(),
+                     alpha, theta, lambda, nx, ny);
+        save(argv[18], v1.data(), n);
+        save(argv[19], v2.data(), n);
+        save(argv[20], v11.data(), n);
+        save(argv[21], v12.data(), n);
+        save(argv[22], v31.data(), n);
+        save(argv[23], v32.data(), n);
+    } else if (op == "occ_u") {
+        // occ_u v1 v2 chi g ny nx theta beta niter out_u1 out_u2
+        // calls Solver_wrt_u `niter` times in sequence (dual state is
+        // function-static in the reference)
+        int ny = atoi(argv[6]), nx = atoi(argv[7]);
+        double theta = atof(argv[8]), beta = atof(argv[9]);
+        int niter = atoi(argv[10]);
+        size_t n = (size_t)nx * ny;
+        auto v1 = load(argv[2], n), v2 = load(argv[3], n);
+        auto chi = load(argv[4], n), g = load(argv[5], n);
+        std::vector<double> u1(n), u2(n);
+        for (int it = 0; it < niter; it++)
+            Solver_wrt_u(u1.data(), u2.data(), v1.data(), v2.data(),
+                         chi.data(), g.data(), theta, beta, nx, ny);
+        save(argv[11], u1.data(), n);
+        save(argv[12], u2.data(), n);
+    } else if (op == "occ_chi") {
+        // occ_chi u1 u2 chi I1wx I1wy Im1wx Im1wy rho1c rho3c
+        //         v11 v12 v31 v32 g ny nx lambda theta alpha beta out_chi
+        int ny = atoi(argv[16]), nx = atoi(argv[17]);
+        double lambda = atof(argv[18]), theta = atof(argv[19]);
+        double alpha = atof(argv[20]), beta = atof(argv[21]);
+        size_t n = (size_t)nx * ny;
+        auto u1 = load(argv[2], n), u2 = load(argv[3], n), chi = load(argv[4], n);
+        auto a1 = load(argv[5], n), a2 = load(argv[6], n);
+        auto b1 = load(argv[7], n), b2 = load(argv[8], n);
+        auto r1 = load(argv[9], n), r3 = load(argv[10], n);
+        auto v11 = load(argv[11], n), v12 = load(argv[12], n);
+        auto v31 = load(argv[13], n), v32 = load(argv[14], n);
+        auto g = load(argv[15], n);
+        Solver_wrt_chi(u1.data(), u2.data(), chi.data(), a1.data(), a2.data(),
+                       b1.data(), b2.data(), r1.data(), r3.data(),
+                       v11.data(), v12.data(), v31.data(), v32.data(),
+                       g.data(), lambda, theta, alpha, beta,
+                       TAU_CHI, TAU_ETA, nx, ny);
+        save(argv[22], chi.data(), n);
     } else {
         fprintf(stderr, "unknown op %s\n", op.c_str());
         return 1;
