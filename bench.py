@@ -23,8 +23,9 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 # Reference `tvl1flow` binary, default params, 1024x436 synthetic pair,
-# 2-vCPU container, OMP all cores: measured by tools/bench_reference.py.
-BASELINE_MEASURED_FPS = None  # filled in by tools/bench_reference.py output
+# 2-vCPU container, OMP all cores: measured by tools/bench_reference.py
+# on 2026-08-18 (0.73 s/field).
+BASELINE_MEASURED_FPS = 1.3787
 
 
 def synth_pair(ny=436, nx=1024, seed=7):

@@ -147,3 +147,87 @@ def warp_planes(planes, u, v, border_out=True):
     jj = jnp.arange(nx, dtype=dtype)[None, :]
     ii = jnp.arange(ny, dtype=dtype)[:, None]
     return warp_stack(planes, jj + u, ii + v, border_out)
+
+
+def warp_planes_shift(planes, u, v, dmax, border_out=True):
+    """Gather-free bicubic warp for displacement-bounded flows.
+
+    TPU-native fast path: XLA lowers per-pixel gathers to scalar loops
+    (a 3-plane 1024x436 `warp_planes` costs ~260 ms on one chip), so
+    for |u|inf, |v|inf <= dmax this evaluates the same 16-tap bicubic
+    as a sum over (2*dmax+4)^2 STATIC shifts with per-pixel one-hot
+    weights -- pure VPU multiply-adds that XLA fuses into one pass
+    (~sub-ms).  Coarse-to-fine drivers bound the per-level flow, so
+    `dmax` follows the pyramid schedule (tpuflow.models.batch).
+
+    Semantics match `warp_planes(..., border_out=True)` for in-bound
+    flows up to summation order (weights are expanded algebraically
+    instead of Horner-nested; f32 differences ~1e-6).  Pixels whose
+    flow exceeds dmax produce 0 -- the same failure class as the
+    border_out zeroing.  Only border_out=True is supported (all
+    reference solvers except tvl1occflow use it).
+    """
+    if not border_out:
+        raise ValueError("warp_planes_shift supports border_out=True only")
+    np_, ny, nx = planes.shape
+    dtype = planes.dtype
+    D = int(dmax)
+
+    jj = jnp.arange(nx, dtype=dtype)[None, :]
+    ii = jnp.arange(ny, dtype=dtype)[:, None]
+    xx = jj + u
+    yy = ii + v
+    x0 = jnp.floor(xx)
+    y0 = jnp.floor(yy)
+    fx = (xx - x0).astype(dtype)
+    fy = (yy - y0).astype(dtype)
+    relx = x0.astype(jnp.int32) - jnp.arange(nx, dtype=jnp.int32)[None, :]
+    rely = y0.astype(jnp.int32) - jnp.arange(ny, dtype=jnp.int32)[:, None]
+
+    # out-of-domain rule for non-negative coords (reference
+    # neumann_bc + trunc anchor, src/bicubic_interpolation.cpp:153-245):
+    # out iff floor < 1 or floor > n-3; negative coords are always out
+    out = ((xx < 1) | (x0 > nx - 3) | (yy < 1) | (y0 > ny - 3))
+
+    def cubic_weights(t):
+        # Keys cell expanded per tap (reference _cubic above):
+        # w0 = 0.5*(-t^3 + 2t^2 - t), w1 = 0.5*(3t^3 - 5t^2 + 2),
+        # w2 = 0.5*(-3t^3 + 4t^2 + t), w3 = 0.5*(t^3 - t^2)
+        t2 = t * t
+        t3 = t2 * t
+        return (0.5 * (-t3 + 2 * t2 - t),
+                0.5 * (3 * t3 - 5 * t2 + 2),
+                0.5 * (-3 * t3 + 4 * t2 + t),
+                0.5 * (t3 - t2))
+
+    cx = cubic_weights(fx)
+    cy = cubic_weights(fy)
+
+    def axis_weight(c, rel, off):
+        # weight of the tap at static offset `off`: tap index
+        # m = off - rel + 1 must land in [0, 4)
+        m = off - rel + 1
+        w = jnp.zeros_like(c[0])
+        for t in range(4):
+            w = jnp.where(m == t, c[t], w)
+        return w
+
+    def shift2(a, ky, kx):
+        # a[(i+ky) clamped, (j+kx) clamped]; clamping never triggers for
+        # in-domain pixels (their taps are inside by the `out` rule)
+        ys = jnp.clip(jnp.arange(ny) + ky, 0, ny - 1)
+        xs = jnp.clip(jnp.arange(nx) + kx, 0, nx - 1)
+        return a[:, ys][:, :, xs]
+
+    wys = {ky: axis_weight(cy, rely, ky) for ky in range(-D - 1, D + 3)}
+    wxs = {kx: axis_weight(cx, relx, kx) for kx in range(-D - 1, D + 3)}
+
+    acc = [jnp.zeros((ny, nx), dtype=dtype) for _ in range(np_)]
+    for ky, wy in wys.items():
+        for kx, wx in wxs.items():
+            w = wy * wx
+            shifted = shift2(planes, ky, kx)
+            for p in range(np_):
+                acc[p] = acc[p] + w * shifted[p]
+    zero = jnp.zeros((), dtype=dtype)
+    return jnp.stack([jnp.where(out, zero, a) for a in acc])
