@@ -1,0 +1,130 @@
+"""Batched fixed-iteration solvers — the TPU throughput path.
+
+The reference processes one frame pair per process (OpenMP threads
+inside one pair); the TPU-native throughput axis is BATCH: many pairs
+per chip, data-parallel across chips (SURVEY.md §2 parallelism table).
+Data-dependent stopping cannot batch (each sample would stop at its own
+iteration), so this driver runs a FIXED per-warp iteration schedule
+calibrated as an upper envelope of the reference's observed stopping
+iterations at default parameters (tvl1flow verbose runs converge in
+1-20 inner iterations per warp, nowhere near the 300 cap:
+src/tvl1flow.cpp:22).
+
+The warp uses the displacement-bounded Pallas kernel
+(tpuflow.ops.warp_pallas) with a per-level bound following the pyramid:
+flow magnitude at level s scales as max_motion * zfactor**s.  Flows
+beyond the bound behave like border_out pixels (contribute 0) — the
+same graceful degradation the reference has for out-of-frame motion.
+Small pyramid levels fall back to the pure-XLA shift-select warp
+(kernel launch overhead dominates there).
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpuflow.models.tvl1 import _inner_step
+from tpuflow.ops import centered_gradient, clamp_nscales, gaussian, pyramid_sizes, zoom_out
+from tpuflow.ops.interp import warp_planes_shift
+from tpuflow.ops.pyramid import zoom_in
+from tpuflow.ops.warp_pallas import warp_planes_pallas_batched
+
+# per-warp inner-iteration schedule: upper envelope of the reference's
+# observed data-dependent stopping at default params (epsilon=0.01)
+DEFAULT_ITER_SCHEDULE = (30, 20, 10, 6, 6)
+PALLAS_MIN_PIXELS = 96 * 96
+
+
+def _normalize_pair_batched(I0, I1):
+    """Joint [0,255] normalization per batch sample
+    (image_normalization_2 semantics, reference src/utils.cpp:283-326,
+    applied per sample)."""
+    mn = jnp.minimum(jnp.min(I0, axis=(-2, -1), keepdims=True),
+                     jnp.min(I1, axis=(-2, -1), keepdims=True))
+    mx = jnp.maximum(jnp.max(I0, axis=(-2, -1), keepdims=True),
+                     jnp.max(I1, axis=(-2, -1), keepdims=True))
+    den = mx - mn
+    ok = den > 0
+    den = jnp.where(ok, den, 1.0)
+    return (jnp.where(ok, 255.0 * (I0 - mn) / den, I0),
+            jnp.where(ok, 255.0 * (I1 - mn) / den, I1))
+
+
+def _warp3(I1, I1x, I1y, u1, u2, dmax):
+    """Displacement-bounded batched 3-plane warp: (B, H, W) images and
+    flows.  Pallas kernel on big levels (batch = grid dimension), XLA
+    shift-select on small ones (kernel launch overhead dominates)."""
+    planes = jnp.stack([I1, I1x, I1y], axis=1)  # (B, 3, H, W)
+    if I1.shape[-2] * I1.shape[-1] >= PALLAS_MIN_PIXELS:
+        w = warp_planes_pallas_batched(planes, u1, u2, dmax)
+    else:
+        w = jax.vmap(lambda p, a, b: warp_planes_shift(p, a, b, dmax))(
+            planes, u1, u2)
+    return w[:, 0], w[:, 1], w[:, 2]
+
+
+def tvl1_scale_fixed(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
+                     iter_schedule=DEFAULT_ITER_SCHEDULE):
+    """Single-scale TV-L1 with a fixed per-warp iteration schedule and
+    bounded-displacement warps.  Batched (B, H, W) arrays."""
+    l_t = lam * theta
+    taut = tau / theta
+    I1x, I1y = centered_gradient(I1)
+    zero = jnp.zeros_like(u1)
+    p11 = p12 = p21 = p22 = zero
+
+    for iters in iter_schedule:
+        I1w, I1wx, I1wy = _warp3(I1, I1x, I1y, u1, u2, dmax)
+        grad = I1wx * I1wx + I1wy * I1wy
+        rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
+
+        def body(_, c):
+            return _inner_step(c[0], c[1], c[2], c[3], c[4], c[5],
+                               I1wx, I1wy, rho_c, grad, l_t, theta, taut)[:6]
+
+        u1, u2, p11, p12, p21, p22 = jax.lax.fori_loop(
+            0, iters, body, (u1, u2, p11, p12, p21, p22))
+    return u1, u2
+
+
+@partial(jax.jit, static_argnames=("tau", "lam", "theta", "nscales",
+                                   "zfactor", "iter_schedule", "max_motion"))
+def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
+                 zfactor=0.5, iter_schedule=DEFAULT_ITER_SCHEDULE,
+                 max_motion=8):
+    """Batched multiscale TV-L1: (B, H, W) pairs -> (B, H, W) flows.
+
+    One jit covers the whole pyramid (static level shapes), so a call is
+    a single device program — no host sync between levels.  Per-level
+    displacement bound: max(3, ceil(max_motion * zfactor**s)).
+    """
+    B, ny, nx = I0.shape
+    if nscales is None:
+        nscales = clamp_nscales(nx, ny, zfactor, 100, use_hypot=True)
+
+    I0n, I1n = _normalize_pair_batched(I0, I1)
+    I0n = gaussian(I0n, 0.8)
+    I1n = gaussian(I1n, 0.8)
+
+    sizes = pyramid_sizes(nx, ny, zfactor, nscales)
+    levels = [(I0n, I1n)]
+    for s in range(1, nscales):
+        levels.append(tuple(zoom_out(im, zfactor, out_size=sizes[s])
+                            for im in levels[-1]))
+
+    cnx, cny = sizes[-1]
+    u1 = jnp.zeros((B, cny, cnx), dtype=I0.dtype)
+    u2 = jnp.zeros((B, cny, cnx), dtype=I0.dtype)
+    for s in range(nscales - 1, -1, -1):
+        dmax = max(3, math.ceil(max_motion * (zfactor ** s)))
+        l0, l1 = levels[s]
+        u1, u2 = tvl1_scale_fixed(l0, l1, u1, u2, dmax=dmax, tau=tau,
+                                  lam=lam, theta=theta,
+                                  iter_schedule=iter_schedule)
+        if s > 0:
+            inv = 1.0 / zfactor
+            u1 = zoom_in(u1, sizes[s - 1]) * inv
+            u2 = zoom_in(u2, sizes[s - 1]) * inv
+    return u1, u2

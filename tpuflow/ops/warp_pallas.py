@@ -44,8 +44,9 @@ def _axis_weight(c, rel, off):
 def _warp_kernel(u_ref, v_ref, planes_ref, out_ref, win_ref, sem, *, dmax,
                  th, tw, ny, nx, n_planes):
     D = dmax
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     dtype = out_ref.dtype
 
     # DMA the overlapping (tile + halo) window of all planes into VMEM —
@@ -54,15 +55,15 @@ def _warp_kernel(u_ref, v_ref, planes_ref, out_ref, win_ref, sem, *, dmax,
     wh = win_ref.shape[1]
     ww = win_ref.shape[2]
     dma = pltpu.make_async_copy(
-        planes_ref.at[:, pl.ds(i * th, wh), pl.ds(j * tw, ww)],
+        planes_ref.at[b, :, pl.ds(i * th, wh), pl.ds(j * tw, ww)],
         win_ref, sem)
     dma.start()
     dma.wait()
 
     ii = (i * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0))
     jj = (j * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1))
-    u = u_ref[:]
-    v = v_ref[:]
+    u = u_ref[0]
+    v = v_ref[0]
     xx = jj.astype(dtype) + u
     yy = ii.astype(dtype) + v
     x0 = jnp.floor(xx)
@@ -90,21 +91,33 @@ def _warp_kernel(u_ref, v_ref, planes_ref, out_ref, win_ref, sem, *, dmax,
                 acc[p] = acc[p] + w * win_ref[p, ay:ay + th, ax:ax + tw]
     zero = jnp.zeros((), dtype=dtype)
     for p in range(n_planes):
-        out_ref[p] = jnp.where(out_dom, zero, acc[p])
+        out_ref[0, p] = jnp.where(out_dom, zero, acc[p])
 
 
-@functools.partial(jax.jit, static_argnames=("dmax", "tile", "interpret"))
 def warp_planes_pallas(planes, u, v, dmax, tile=(64, 128), interpret=None):
     """Warp (P, H, W) planes by one bounded flow field on the TPU VPU.
 
     Equivalent to warp_planes(..., border_out=True) for
     |u|inf, |v|inf <= dmax; flows beyond the bound yield 0.
-    `interpret` defaults to auto: interpreter mode off-TPU (tests run on
-    the CPU backend), compiled on TPU.
+    """
+    out = warp_planes_pallas_batched(planes[None], u[None], v[None], dmax,
+                                     tile, interpret)
+    return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("dmax", "tile", "interpret"))
+def warp_planes_pallas_batched(planes, u, v, dmax, tile=(64, 128),
+                               interpret=None):
+    """Batched bounded warp: (B, P, H, W) planes, (B, H, W) flows.
+
+    The batch is a grid dimension, so every (sample, tile) pair
+    pipelines through the same kernel — the TPU throughput path for
+    data-parallel batches of frame pairs.  `interpret` defaults to
+    auto: interpreter mode off-TPU (tests run on the CPU backend).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n_planes, ny, nx = planes.shape
+    nb, n_planes, ny, nx = planes.shape
     D = int(dmax)
     th, tw = tile
     th = min(th, max(8, ny))
@@ -124,29 +137,31 @@ def warp_planes_pallas(planes, u, v, dmax, tile=(64, 128), interpret=None):
     # edge-clamped — clamping never matters for in-domain pixels
     planes_p = jnp.pad(
         planes,
-        ((0, 0),
+        ((0, 0), (0, 0),
          (D + 1, (hyp + wh - th) - (ny + D + 1)),
          (D + 1, (wxp + ww - tw) - (nx + D + 1))),
         mode="edge")
     if (hyp, wxp) != (ny, nx):
-        u = jnp.pad(u, ((0, hyp - ny), (0, wxp - nx)))
-        v = jnp.pad(v, ((0, hyp - ny), (0, wxp - nx)))
+        u = jnp.pad(u, ((0, 0), (0, hyp - ny), (0, wxp - nx)))
+        v = jnp.pad(v, ((0, 0), (0, hyp - ny), (0, wxp - nx)))
 
     kern = functools.partial(_warp_kernel, dmax=D, th=th, tw=tw, ny=ny,
                              nx=nx, n_planes=n_planes)
     out = pl.pallas_call(
         kern,
-        grid=(gy, gx),
+        grid=(nb, gy, gx),
         in_specs=[
-            pl.BlockSpec((th, tw), lambda i, j: (i, j),
+            pl.BlockSpec((1, th, tw), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, tw), lambda i, j: (i, j),
+            pl.BlockSpec((1, th, tw), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # windows DMA'd manually
         ],
-        out_specs=pl.BlockSpec((n_planes, th, tw), lambda i, j: (0, i, j),
+        out_specs=pl.BlockSpec((1, n_planes, th, tw),
+                               lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_planes, hyp, wxp), planes.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, n_planes, hyp, wxp),
+                                       planes.dtype),
         scratch_shapes=[
             pltpu.VMEM((n_planes, wh, ww), planes.dtype),
             pltpu.SemaphoreType.DMA,
@@ -155,4 +170,4 @@ def warp_planes_pallas(planes, u, v, dmax, tile=(64, 128), interpret=None):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(u, v, planes_p)
-    return out[:, :ny, :nx]
+    return out[:, :, :ny, :nx]
