@@ -52,22 +52,45 @@ def upsample_flow(u1, u2, out_size, zfactor):
 
 
 def run_pyramid(images, nscales, zfactor, solve_scale,
-                presmooth=PRESMOOTHING_SIGMA, normalize=True):
+                presmooth=PRESMOOTHING_SIGMA, normalize=True,
+                level_callback=None, resume=None, trace_name=None):
     """Build the pyramid and run `solve_scale` coarse -> fine.
 
     `solve_scale(images_at_scale, u1, u2)` returns (u1, u2) or
     (u1, u2, extras); the final level's extras are returned as-is.
+
+    `level_callback(scale, {"u1": ..., "u2": ...})` runs after each
+    solved level (checkpointing/observability hook; see
+    tpuflow.utils.checkpoint).  `resume=(scale, u1, u2)` restarts the
+    coarse-to-fine loop below `scale` with the given already-solved
+    flow for that scale.  `trace_name` wraps each level in a named
+    profiler scope.
     """
+    from tpuflow.utils.trace import trace_scope
+
     levels, sizes = build_pyramid(images, nscales, zfactor, presmooth, normalize)
-    nx, ny = sizes[-1]
     dtype = images[0].dtype
-    u1 = jnp.zeros((ny, nx), dtype=dtype)
-    u2 = jnp.zeros((ny, nx), dtype=dtype)
     extras = None
-    for s in range(nscales - 1, -1, -1):
-        out = solve_scale(levels[s], u1, u2)
+    if resume is not None:
+        start, u1, u2 = resume
+        u1 = jnp.asarray(u1, dtype=dtype)
+        u2 = jnp.asarray(u2, dtype=dtype)
+        if start > 0:
+            u1, u2 = upsample_flow(u1, u2, sizes[start - 1], zfactor)
+        start -= 1
+    else:
+        nx, ny = sizes[-1]
+        u1 = jnp.zeros((ny, nx), dtype=dtype)
+        u2 = jnp.zeros((ny, nx), dtype=dtype)
+        start = nscales - 1
+    for s in range(start, -1, -1):
+        scope = f"{trace_name or 'pyramid'}/level_{s}"
+        with trace_scope(scope):
+            out = solve_scale(levels[s], u1, u2)
         u1, u2 = out[0], out[1]
         extras = out[2:] if len(out) > 2 else None
+        if level_callback is not None:
+            level_callback(s, {"u1": u1, "u2": u2})
         if s > 0:
             u1, u2 = upsample_flow(u1, u2, sizes[s - 1], zfactor)
     return u1, u2, extras

@@ -142,12 +142,15 @@ def tvl1_multiscale(I0, I1, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
                     theta=DEFAULT_THETA, nscales=DEFAULT_NSCALES,
                     zfactor=DEFAULT_ZFACTOR, warps=DEFAULT_WARPS,
                     epsilon=DEFAULT_EPSILON, max_iterations=MAX_ITERATIONS,
-                    stop="error", clamp_scales=True):
+                    stop="error", clamp_scales=True, level_callback=None,
+                    resume=None):
     """Multiscale TV-L1 (reference Dual_TVL1_optic_flow_multiscale,
     src/tvl1flow.cpp:219-328).  Returns (u, v).
 
     `clamp_scales` applies the CLI's auto-clamp so the coarsest level
     stays >= 16 px along the diagonal (src/tvl1flow_main.cpp:185-187).
+    `level_callback`/`resume` are the checkpoint/observability hooks
+    (tpuflow.utils.checkpoint; SURVEY.md §5.4).
     """
     ny, nx = I0.shape[-2:]
     if clamp_scales:
@@ -158,5 +161,7 @@ def tvl1_multiscale(I0, I1, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
         return _tvl1_scale_jit(lvl_I0, lvl_I1, u1, u2, tau, lam, theta,
                                warps, epsilon, max_iterations, stop)
 
-    u1, u2, _ = run_pyramid((I0, I1), nscales, zfactor, solve)
+    u1, u2, _ = run_pyramid((I0, I1), nscales, zfactor, solve,
+                            level_callback=level_callback, resume=resume,
+                            trace_name="tvl1")
     return u1, u2
