@@ -1,0 +1,78 @@
+"""Batched fixed-iteration TV-L1 (the TPU throughput path) and its
+fused Pallas iteration kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuflow.models.batch import tvl1_batched
+from tpuflow.models.tvl1 import _inner_step, tvl1_multiscale
+from tpuflow.ops.tvl1_pallas import tvl1_iterate_pallas
+
+
+def test_fused_iterations_exact():
+    """M fused in-VMEM iterations == M sequential XLA iterations
+    (temporal blocking is exact, not approximate)."""
+    rng = np.random.default_rng(4)
+    B, ny, nx = 2, 52, 300
+    state = jnp.asarray(rng.standard_normal((B, 6, ny, nx)) * 0.5)
+    const = jnp.asarray(np.stack([
+        rng.standard_normal((B, ny, nx)) * 20,
+        rng.standard_normal((B, ny, nx)) * 20,
+        rng.standard_normal((B, ny, nx)) * 5,
+        np.abs(rng.standard_normal((B, ny, nx))) * 400], axis=1))
+    l_t, theta, taut = 0.045, 0.3, 0.25 / 0.3
+    m = 7
+    out, err = tvl1_iterate_pallas(state, const, m, l_t, theta, taut,
+                                   tile=(16, 128))
+    s = [state[:, k] for k in range(6)]
+    c = [const[:, k] for k in range(4)]
+    for it in range(m):
+        if it == m - 1:
+            u1p, u2p = s[0], s[1]
+        s = list(_inner_step(*s, c[0], c[1], c[2], c[3], l_t, theta,
+                             taut)[:6])
+    ref = jnp.stack(s, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+    # the error output is the last iteration's summed squared update
+    ref_err = jnp.sum((s[0] - u1p) ** 2 + (s[1] - u2p) ** 2, axis=(-2, -1))
+    np.testing.assert_allclose(np.asarray(err), np.asarray(ref_err),
+                               rtol=1e-9)
+
+
+def test_batched_matches_error_stop(solver_goldens):
+    """The fixed-schedule batched path lands within the parity budget of
+    the faithful data-dependent-stopping path."""
+    g = solver_goldens
+    B = 2
+    I0 = jnp.asarray(np.stack([g["I0"]] * B))
+    I1 = jnp.asarray(np.stack([g["I1"]] * B))
+    u_b, v_b = tvl1_batched(I0, I1, nscales=3)
+    u_r, v_r = tvl1_multiscale(jnp.asarray(g["I0"]), jnp.asarray(g["I1"]),
+                               nscales=3, clamp_scales=False)
+    epe = float(np.mean(np.hypot(np.asarray(u_b[0]) - np.asarray(u_r),
+                                 np.asarray(v_b[0]) - np.asarray(v_r))))
+    assert epe < 0.05, epe
+    # batch samples are independent: identical inputs -> identical flows
+    np.testing.assert_array_equal(np.asarray(u_b[0]), np.asarray(u_b[1]))
+
+
+def test_batched_pallas_levels():
+    """Exercise the Pallas warp + fused-iteration path (level above the
+    size cutoff) against the gather-based reference path."""
+    rng = np.random.default_rng(9)
+    ny, nx = 128, 192  # above PALLAS_MIN_PIXELS at the finest level
+    noise = rng.standard_normal((ny, nx))
+    fy = np.fft.fftfreq(ny)[:, None]
+    fx = np.fft.fftfreq(nx)[None, :]
+    base = np.real(np.fft.ifft2(np.fft.fft2(noise)
+                                * np.exp(-(fx ** 2 + fy ** 2) * 800)))
+    I0 = 128 + 90 * base / np.abs(base).max()
+    I1 = np.roll(I0, 1, axis=1)
+    u_b, v_b = tvl1_batched(jnp.asarray(I0[None]), jnp.asarray(I1[None]),
+                            nscales=3)
+    u_r, v_r = tvl1_multiscale(jnp.asarray(I0), jnp.asarray(I1), nscales=3,
+                               clamp_scales=False)
+    epe = float(np.mean(np.hypot(np.asarray(u_b[0]) - np.asarray(u_r),
+                                 np.asarray(v_b[0]) - np.asarray(v_r))))
+    assert epe < 0.05, epe

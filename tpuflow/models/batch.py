@@ -29,6 +29,7 @@ from tpuflow.models.tvl1 import _inner_step
 from tpuflow.ops import centered_gradient, clamp_nscales, gaussian, pyramid_sizes, zoom_out
 from tpuflow.ops.interp import warp_planes_shift
 from tpuflow.ops.pyramid import zoom_in
+from tpuflow.ops.tvl1_pallas import tvl1_iterate_pallas
 from tpuflow.ops.warp_pallas import warp_planes_pallas_batched
 
 # per-warp inner-iteration schedule: upper envelope of the reference's
@@ -65,40 +66,137 @@ def _warp3(I1, I1x, I1y, u1, u2, dmax):
     return w[:, 0], w[:, 1], w[:, 2]
 
 
+MAX_FUSED_ITERS = 10  # temporal-blocking chunk (halo width per kernel call)
+ERROR_CHUNK = 5       # iterations between convergence checks in error mode
+
+
 def tvl1_scale_fixed(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
                      iter_schedule=DEFAULT_ITER_SCHEDULE):
     """Single-scale TV-L1 with a fixed per-warp iteration schedule and
-    bounded-displacement warps.  Batched (B, H, W) arrays."""
+    bounded-displacement warps.  Batched (B, H, W) arrays.
+
+    Big levels run the inner fixed point through the temporally-blocked
+    Pallas kernel (tpuflow.ops.tvl1_pallas): chunks of up to
+    MAX_FUSED_ITERS iterations per HBM round-trip."""
     l_t = lam * theta
     taut = tau / theta
     I1x, I1y = centered_gradient(I1)
     zero = jnp.zeros_like(u1)
-    p11 = p12 = p21 = p22 = zero
+    big = I0.shape[-2] * I0.shape[-1] >= PALLAS_MIN_PIXELS
+    state = jnp.stack([u1, u2, zero, zero, zero, zero], axis=1)
 
     for iters in iter_schedule:
+        u1, u2 = state[:, 0], state[:, 1]
         I1w, I1wx, I1wy = _warp3(I1, I1x, I1y, u1, u2, dmax)
         grad = I1wx * I1wx + I1wy * I1wy
         rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
 
-        def body(_, c):
-            return _inner_step(c[0], c[1], c[2], c[3], c[4], c[5],
-                               I1wx, I1wy, rho_c, grad, l_t, theta, taut)[:6]
+        if big:
+            const = jnp.stack([I1wx, I1wy, rho_c, grad], axis=1)
+            left = iters
+            while left > 0:
+                m = min(left, MAX_FUSED_ITERS)
+                state, _ = tvl1_iterate_pallas(state, const, m, l_t, theta,
+                                               taut)
+                left -= m
+        else:
+            def body(_, c):
+                return _inner_step(c[0], c[1], c[2], c[3], c[4], c[5],
+                                   I1wx, I1wy, rho_c, grad, l_t, theta,
+                                   taut)[:6]
 
-        u1, u2, p11, p12, p21, p22 = jax.lax.fori_loop(
-            0, iters, body, (u1, u2, p11, p12, p21, p22))
-    return u1, u2
+            parts = jax.lax.fori_loop(
+                0, iters, body, tuple(state[:, k] for k in range(6)))
+            state = jnp.stack(parts, axis=1)
+    return state[:, 0], state[:, 1]
+
+
+def tvl1_scale_error(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
+                     warps=5, epsilon=0.01, max_iterations=300):
+    """Batched single-scale TV-L1 with PER-SAMPLE data-dependent
+    stopping: the reference's `mean squared flow update > epsilon^2`
+    rule (src/tvl1flow.cpp:113,150-162), checked every ERROR_CHUNK
+    iterations; converged samples freeze while the rest of the batch
+    keeps iterating.  Within a check granularity of ERROR_CHUNK this is
+    the reference operating point, batched."""
+    l_t = lam * theta
+    taut = tau / theta
+    size = I0.shape[-2] * I0.shape[-1]
+    thresh = epsilon * epsilon * size
+    I1x, I1y = centered_gradient(I1)
+    zero = jnp.zeros_like(u1)
+    big = I0.shape[-2] * I0.shape[-1] >= PALLAS_MIN_PIXELS
+    state = jnp.stack([u1, u2, zero, zero, zero, zero], axis=1)
+    B = I0.shape[0]
+
+    for _ in range(warps):
+        u1, u2 = state[:, 0], state[:, 1]
+        I1w, I1wx, I1wy = _warp3(I1, I1x, I1y, u1, u2, dmax)
+        grad = I1wx * I1wx + I1wy * I1wy
+        rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
+
+        if big:
+            const = jnp.stack([I1wx, I1wy, rho_c, grad], axis=1)
+
+            def cond(c):
+                return jnp.any(c[1] > thresh) & (c[2] < max_iterations)
+
+            def body(c):
+                state, err, n = c
+                new_state, new_err = tvl1_iterate_pallas(
+                    state, const, ERROR_CHUNK, l_t, theta, taut)
+                active = err > thresh
+                state = jnp.where(active[:, None, None, None], new_state,
+                                  state)
+                err = jnp.where(active, new_err, err)
+                return state, err, n + ERROR_CHUNK
+
+            init = (state, jnp.full((B,), jnp.inf, dtype=I0.dtype),
+                    jnp.asarray(0, jnp.int32))
+            state, _, _ = jax.lax.while_loop(cond, body, init)
+        else:
+            def cond(c):
+                return jnp.any(c[1] > thresh) & (c[2] < max_iterations)
+
+            def body(c):
+                state, err, n = c
+                parts = _inner_step(*(state[:, k] for k in range(6)),
+                                    I1wx, I1wy, rho_c, grad, l_t, theta,
+                                    taut)
+                new_state = jnp.stack(parts[:6], axis=1)
+                new_err = jnp.sum(
+                    (new_state[:, 0] - state[:, 0]) ** 2
+                    + (new_state[:, 1] - state[:, 1]) ** 2, axis=(-2, -1))
+                active = err > thresh
+                state = jnp.where(active[:, None, None, None], new_state,
+                                  state)
+                err = jnp.where(active, new_err, err)
+                return state, err, n + 1
+
+            init = (state, jnp.full((B,), jnp.inf, dtype=I0.dtype),
+                    jnp.asarray(0, jnp.int32))
+            state, _, _ = jax.lax.while_loop(cond, body, init)
+    return state[:, 0], state[:, 1]
 
 
 @partial(jax.jit, static_argnames=("tau", "lam", "theta", "nscales",
-                                   "zfactor", "iter_schedule", "max_motion"))
+                                   "zfactor", "iter_schedule", "max_motion",
+                                   "stop", "warps", "epsilon",
+                                   "max_iterations"))
 def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
                  zfactor=0.5, iter_schedule=DEFAULT_ITER_SCHEDULE,
-                 max_motion=8):
+                 max_motion=8, stop="error", warps=5, epsilon=0.01,
+                 max_iterations=300):
     """Batched multiscale TV-L1: (B, H, W) pairs -> (B, H, W) flows.
 
     One jit covers the whole pyramid (static level shapes), so a call is
     a single device program — no host sync between levels.  Per-level
     displacement bound: max(3, ceil(max_motion * zfactor**s)).
+
+    stop="error" (default) reproduces the reference CLI's operating
+    point: per-sample data-dependent stopping at epsilon, checked every
+    ERROR_CHUNK iterations with converged samples frozen.
+    stop="fixed" runs `iter_schedule` per warp — fully static, fastest.
     """
     B, ny, nx = I0.shape
     if nscales is None:
@@ -120,9 +218,15 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
     for s in range(nscales - 1, -1, -1):
         dmax = max(3, math.ceil(max_motion * (zfactor ** s)))
         l0, l1 = levels[s]
-        u1, u2 = tvl1_scale_fixed(l0, l1, u1, u2, dmax=dmax, tau=tau,
-                                  lam=lam, theta=theta,
-                                  iter_schedule=iter_schedule)
+        if stop == "error":
+            u1, u2 = tvl1_scale_error(l0, l1, u1, u2, dmax=dmax, tau=tau,
+                                      lam=lam, theta=theta, warps=warps,
+                                      epsilon=epsilon,
+                                      max_iterations=max_iterations)
+        else:
+            u1, u2 = tvl1_scale_fixed(l0, l1, u1, u2, dmax=dmax, tau=tau,
+                                      lam=lam, theta=theta,
+                                      iter_schedule=iter_schedule)
         if s > 0:
             inv = 1.0 / zfactor
             u1 = zoom_in(u1, sizes[s - 1]) * inv

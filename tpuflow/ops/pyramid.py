@@ -17,12 +17,14 @@ All shapes are static: pyramid level sizes are computed host-side with
 `pyramid_sizes`, so each level jit-compiles once per input geometry.
 """
 
+import functools
 import math
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpuflow.ops.gaussian import gaussian
-from tpuflow.ops.interp import bicubic_at, warp_stack
 
 ZOOM_SIGMA_ZERO = 0.6
 
@@ -51,10 +53,40 @@ def clamp_nscales(nx, ny, factor, nscales, min_size=16, use_hypot=True):
     return max(1, min(nscales, n_max))
 
 
-def _sample_grid(nxx, nyy, fx, fy, dtype):
-    xx = (jnp.arange(nxx, dtype=dtype) / fx)[None, :] * jnp.ones((nyy, 1), dtype=dtype)
-    yy = (jnp.arange(nyy, dtype=dtype) / fy)[:, None] * jnp.ones((1, nxx), dtype=dtype)
-    return xx, yy
+@functools.lru_cache(maxsize=256)
+def _resample_matrix(n_out, n_in, inv_factor):
+    """(n_out, n_in) bicubic resampling matrix for a REGULAR grid.
+
+    TPU-native formulation: grid resampling has row/column-constant tap
+    positions, so the 2D bicubic sample at (j/f, i/f) factorizes into
+    out = A_y @ I @ A_x^T — two small matmuls that run on the MXU
+    instead of a per-pixel gather (which XLA lowers to scalar loops).
+    Weights replicate reference bicubic_interpolation_at with
+    border_out=False: Keys cell at the truncated anchor, taps clamped
+    to the valid range (src/bicubic_interpolation.cpp:153-245; all grid
+    coords are >= 0, so trunc == floor and the sign quirks are inert).
+    """
+    A = np.zeros((n_out, n_in))
+    for i in range(n_out):
+        y = i * inv_factor
+        c = int(y)  # trunc == floor for y >= 0
+        t = y - c
+        t2, t3 = t * t, t * t * t
+        w = (0.5 * (-t3 + 2 * t2 - t),
+             0.5 * (3 * t3 - 5 * t2 + 2),
+             0.5 * (-3 * t3 + 4 * t2 + t),
+             0.5 * (t3 - t2))
+        for m, tap in enumerate((c - 1, c, c + 1, c + 2)):
+            A[i, min(max(tap, 0), n_in - 1)] += w[m]
+    return A
+
+
+def _resample(I, nxx, nyy, inv_fx, inv_fy):
+    Ay = jnp.asarray(_resample_matrix(nyy, I.shape[-2], inv_fy), dtype=I.dtype)
+    Ax = jnp.asarray(_resample_matrix(nxx, I.shape[-1], inv_fx), dtype=I.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("...hw,ow->...ho", I, Ax, precision=hp)
+    return jnp.einsum("...ho,ph->...po", t, Ay, precision=hp)
 
 
 def zoom_out(I, factor, out_size=None):
@@ -67,23 +99,12 @@ def zoom_out(I, factor, out_size=None):
         nxx, nyy = out_size
     sigma = ZOOM_SIGMA_ZERO * math.sqrt(1.0 / (factor * factor) - 1.0)
     Is = gaussian(I, sigma)
-    xx, yy = _sample_grid(nxx, nyy, factor, factor, I.dtype)
-    if I.ndim == 2:
-        return bicubic_at(Is, xx, yy, border_out=False)
-    flat = Is.reshape((-1,) + Is.shape[-2:])
-    out = warp_stack(flat, xx, yy, border_out=False)
-    return out.reshape(I.shape[:-2] + (nyy, nxx))
+    inv = 1.0 / factor
+    return _resample(Is, nxx, nyy, inv, inv)
 
 
 def zoom_in(I, out_size):
     """Bicubic-upsample (..., H, W) to out_size = (nxx, nyy)."""
     ny, nx = I.shape[-2:]
     nxx, nyy = out_size
-    fx = nxx / nx
-    fy = nyy / ny
-    xx, yy = _sample_grid(nxx, nyy, fx, fy, I.dtype)
-    if I.ndim == 2:
-        return bicubic_at(I, xx, yy, border_out=False)
-    flat = I.reshape((-1,) + I.shape[-2:])
-    out = warp_stack(flat, xx, yy, border_out=False)
-    return out.reshape(I.shape[:-2] + (nyy, nxx))
+    return _resample(I, nxx, nyy, nx / nxx, ny / nyy)
