@@ -76,3 +76,52 @@ def test_batched_pallas_levels():
     epe = float(np.mean(np.hypot(np.asarray(u_b[0]) - np.asarray(u_r),
                                  np.asarray(v_b[0]) - np.asarray(v_r))))
     assert epe < 0.05, epe
+
+
+def test_hs_fused_sweeps_exact():
+    """M fused 4-color SOR sweeps == M sequential XLA sweeps."""
+    from tpuflow.models.hs_pyramidal import _four_colors, _sor_sweep
+    from tpuflow.ops.hs_pallas import hs_sor_pallas
+
+    rng = np.random.default_rng(6)
+    B, ny, nx = 2, 48, 280
+    u = jnp.asarray(rng.standard_normal((B, ny, nx)) * 0.5)
+    v = jnp.asarray(rng.standard_normal((B, ny, nx)) * 0.5)
+    Au = jnp.asarray(rng.standard_normal((B, ny, nx)) * 10)
+    Av = jnp.asarray(rng.standard_normal((B, ny, nx)) * 10)
+    Du = jnp.asarray(np.abs(rng.standard_normal((B, ny, nx))) * 50 + 49)
+    Dv = jnp.asarray(np.abs(rng.standard_normal((B, ny, nx))) * 50 + 49)
+    D = jnp.asarray(rng.standard_normal((B, ny, nx)) * 5)
+    alpha2 = 49.0
+    m = 3
+    state = jnp.stack([u, v], axis=1)
+    const = jnp.stack([Au, Av, Du, Dv, D], axis=1)
+    out, err = hs_sor_pallas(state, const, m, alpha2, tile=(16, 128))
+
+    colors = _four_colors((ny, nx))
+    uu, vv = u, v
+    for s in range(m):
+        if s == m - 1:
+            up, vp = uu, vv
+        uu, vv, _ = _sor_sweep(uu, vv, Au, Av, Du, Dv, D, alpha2, colors)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(uu),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out[:, 1]), np.asarray(vv),
+                               atol=1e-11)
+    ref_err = jnp.sum((uu - up) ** 2 + (vv - vp) ** 2, axis=(-2, -1))
+    np.testing.assert_allclose(np.asarray(err), np.asarray(ref_err),
+                               rtol=1e-9)
+
+
+def test_hs_batched_matches_unbatched(solver_goldens):
+    from tpuflow.models.batch import hs_pyramidal_batched
+    from tpuflow.models.hs_pyramidal import hs_pyramidal
+
+    g = solver_goldens
+    I1 = jnp.asarray(g["I0"], dtype=jnp.float32)
+    I2 = jnp.asarray(g["I1"], dtype=jnp.float32)
+    u_b, v_b = hs_pyramidal_batched(I1[None], I2[None], nscales=3)
+    u_r, v_r = hs_pyramidal(I1, I2, nscales=3, clamp_scales=False)
+    epe = float(np.mean(np.hypot(np.asarray(u_b[0]) - np.asarray(u_r),
+                                 np.asarray(v_b[0]) - np.asarray(v_r))))
+    assert epe < 0.05, epe

@@ -232,3 +232,126 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
             u1 = zoom_in(u1, sizes[s - 1]) * inv
             u2 = zoom_in(u2, sizes[s - 1]) * inv
     return u1, u2
+
+
+HS_SOR_CHUNK = 4  # sweeps per fused kernel call in error mode (halo 16)
+
+
+def hs_scale_batched(I1, I2, u, v, dmax, alpha=7.0, warps=10, tol=1e-4,
+                     maxiter=150, stop="error", sweep_schedule=(24, 12, 8,
+                                                                6, 6, 4, 4,
+                                                                4, 4, 4)):
+    """Batched single-scale warping Horn-Schunck with the fused 4-color
+    SOR kernel (tpuflow.ops.hs_pallas) on big levels.
+
+    Reference per-warp system constants:
+    src/horn_schunck_pyramidal.cpp:128-137."""
+    from tpuflow.models.hs_pyramidal import _four_colors, _sor_sweep
+    from tpuflow.ops.hs_pallas import hs_sor_pallas
+
+    alpha2 = alpha * alpha
+    size = I1.shape[-2] * I1.shape[-1]
+    thresh = (tol * tol) * size  # sqrt(err/size) > tol  <=>  err > tol^2*size
+    big = size >= PALLAS_MIN_PIXELS
+    I2x, I2y = centered_gradient(I2)
+    B = I1.shape[0]
+
+    for wi in range(warps):
+        I2w, I2wx, I2wy = _warp3(I2, I2x, I2y, u, v, dmax)
+        dif = I1 - I2w + I2wx * u + I2wy * v
+        Au = dif * I2wx
+        Av = dif * I2wy
+        Du = I2wx * I2wx + alpha2
+        Dv = I2wy * I2wy + alpha2
+        D = I2wx * I2wy
+
+        if big:
+            state = jnp.stack([u, v], axis=1)
+            const = jnp.stack([Au, Av, Du, Dv, D], axis=1)
+            if stop == "error":
+                def cond(c):
+                    return jnp.any(c[1] > thresh) & (c[2] < maxiter)
+
+                def body(c):
+                    st, err, n = c
+                    new_st, new_err = hs_sor_pallas(st, const, HS_SOR_CHUNK,
+                                                    alpha2)
+                    active = err > thresh
+                    st = jnp.where(active[:, None, None, None], new_st, st)
+                    err = jnp.where(active, new_err, err)
+                    return st, err, n + HS_SOR_CHUNK
+
+                init = (state, jnp.full((B,), jnp.inf, dtype=I1.dtype),
+                        jnp.asarray(0, jnp.int32))
+                state, _, _ = jax.lax.while_loop(cond, body, init)
+            else:
+                left = sweep_schedule[min(wi, len(sweep_schedule) - 1)]
+                while left > 0:
+                    m = min(left, HS_SOR_CHUNK)
+                    state, _ = hs_sor_pallas(state, const, m, alpha2)
+                    left -= m
+            u, v = state[:, 0], state[:, 1]
+        else:
+            colors = _four_colors(I1.shape[-2:])
+
+            def cond(c):
+                return jnp.any(c[2] > thresh) & (c[3] < maxiter)
+
+            def body(c):
+                u, v, err, n = c
+                u_n, v_n, errs = _sor_sweep(u, v, Au, Av, Du, Dv, D, alpha2,
+                                            colors)
+                # per-sample sum (the shared helper returns a global sum
+                # for unbatched use; recompute per sample)
+                new_err = jnp.sum((u_n - u) ** 2 + (v_n - v) ** 2,
+                                  axis=(-2, -1))
+                active = err > thresh
+                u = jnp.where(active[:, None, None], u_n, u)
+                v = jnp.where(active[:, None, None], v_n, v)
+                err = jnp.where(active, new_err, err)
+                return u, v, err, n + 1
+
+            init = (u, v, jnp.full((B,), jnp.inf, dtype=I1.dtype),
+                    jnp.asarray(0, jnp.int32))
+            u, v, _, _ = jax.lax.while_loop(cond, body, init)
+    return u, v
+
+
+@partial(jax.jit, static_argnames=("alpha", "nscales", "zfactor", "warps",
+                                   "tol", "maxiter", "max_motion", "stop"))
+def hs_pyramidal_batched(I1, I2, alpha=7.0, nscales=None, zfactor=0.5,
+                         warps=10, tol=1e-4, maxiter=150, max_motion=8,
+                         stop="error"):
+    """Batched multiscale warping Horn-Schunck: (B, H, W) -> (B, H, W).
+
+    The second throughput config of BASELINE.md (reference
+    src/horn_schunck_pyramidal.cpp).  Same pyramid/driver design as
+    `tvl1_batched`."""
+    B, ny, nx = I1.shape
+    if nscales is None:
+        nscales = clamp_nscales(nx, ny, zfactor, 10, use_hypot=True)
+
+    I1n, I2n = _normalize_pair_batched(I1, I2)
+    I1n = gaussian(I1n, 0.8)
+    I2n = gaussian(I2n, 0.8)
+
+    sizes = pyramid_sizes(nx, ny, zfactor, nscales)
+    levels = [(I1n, I2n)]
+    for s in range(1, nscales):
+        levels.append(tuple(zoom_out(im, zfactor, out_size=sizes[s])
+                            for im in levels[-1]))
+
+    cnx, cny = sizes[-1]
+    u = jnp.zeros((B, cny, cnx), dtype=I1.dtype)
+    v = jnp.zeros((B, cny, cnx), dtype=I1.dtype)
+    for s in range(nscales - 1, -1, -1):
+        dmax = max(3, math.ceil(max_motion * (zfactor ** s)))
+        l1, l2 = levels[s]
+        u, v = hs_scale_batched(l1, l2, u, v, dmax=dmax, alpha=alpha,
+                                warps=warps, tol=tol, maxiter=maxiter,
+                                stop=stop)
+        if s > 0:
+            inv = 1.0 / zfactor
+            u = zoom_in(u, sizes[s - 1]) * inv
+            v = zoom_in(v, sizes[s - 1]) * inv
+    return u, v

@@ -147,7 +147,10 @@ def _tvl1_iter_kernel(state_ref, const_ref, out_ref, err_ref, swin, cwin,
     in_img = ((gi[sl] >= 0) & (gi[sl] < ny) & (gj[sl] >= 0) & (gj[sl] < nx))
     du = jnp.where(in_img, u1[sl] - u1_prev[sl], zero)
     dv = jnp.where(in_img, u2[sl] - u2_prev[sl], zero)
-    err_ref[0, 0, 0] = jnp.sum(du * du + dv * dv)
+    # broadcast the tile's partial error over its (8, 128) output block
+    # (Mosaic requires hardware-tiled block shapes; the caller
+    # subsamples one element per tile)
+    err_ref[0] = jnp.full((8, 128), jnp.sum(du * du + dv * dv), dtype=dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "l_t", "theta",
@@ -201,12 +204,12 @@ def tvl1_iterate_pallas(state, const, n_iters, l_t, theta, taut,
         out_specs=[
             pl.BlockSpec((1, 6, th, tw), lambda b, i, j: (b, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda b, i, j: (b, i, j),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, 6, hyp, wxp), state.dtype),
-            jax.ShapeDtypeStruct((nb, gy, gx), state.dtype),
+            jax.ShapeDtypeStruct((nb, gy * 8, gx * 128), state.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((6, wh, ww), state.dtype),
@@ -218,4 +221,4 @@ def tvl1_iterate_pallas(state, const, n_iters, l_t, theta, taut,
         interpret=interpret,
     )(padw(state), padw(const))
     out, err = out
-    return out[:, :, :ny, :nx], jnp.sum(err, axis=(1, 2))
+    return out[:, :, :ny, :nx], jnp.sum(err[:, ::8, ::128], axis=(1, 2))
