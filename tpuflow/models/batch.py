@@ -29,7 +29,7 @@ from tpuflow.models.tvl1 import _inner_step
 from tpuflow.ops import centered_gradient, clamp_nscales, gaussian, pyramid_sizes, zoom_out
 from tpuflow.ops.interp import warp_planes_shift
 from tpuflow.ops.pyramid import zoom_in
-from tpuflow.ops.tvl1_pallas import tvl1_iterate_pallas
+from tpuflow.ops.tvl1_pallas import fits_vmem, pad_hw, tvl1_iterate_padded
 from tpuflow.ops.warp_pallas import warp_planes_pallas_batched
 
 # per-warp inner-iteration schedule: upper envelope of the reference's
@@ -66,8 +66,12 @@ def _warp3(I1, I1x, I1y, u1, u2, dmax):
     return w[:, 0], w[:, 1], w[:, 2]
 
 
-MAX_FUSED_ITERS = 10  # temporal-blocking chunk (halo width per kernel call)
-ERROR_CHUNK = 5       # iterations between convergence checks in error mode
+ERROR_CHUNK = 8  # iterations between convergence checks in error mode
+
+
+def _use_fused(shape):
+    ny, nx = shape[-2:]
+    return ny * nx >= PALLAS_MIN_PIXELS and fits_vmem(ny, nx)
 
 
 def tvl1_scale_fixed(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
@@ -75,15 +79,31 @@ def tvl1_scale_fixed(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
     """Single-scale TV-L1 with a fixed per-warp iteration schedule and
     bounded-displacement warps.  Batched (B, H, W) arrays.
 
-    Big levels run the inner fixed point through the temporally-blocked
-    Pallas kernel (tpuflow.ops.tvl1_pallas): chunks of up to
-    MAX_FUSED_ITERS iterations per HBM round-trip."""
+    Big levels run the inner fixed point through the whole-level-in-VMEM
+    Pallas kernel (tpuflow.ops.tvl1_pallas): each warp's full iteration
+    budget is ONE fused kernel call (one HBM round-trip), and the state
+    stays (8, 128)-padded across the whole scale so no pad/unpad copies
+    sit in the hot loop."""
     l_t = lam * theta
     taut = tau / theta
+    ny, nx = I0.shape[-2:]
     I1x, I1y = centered_gradient(I1)
     zero = jnp.zeros_like(u1)
-    big = I0.shape[-2] * I0.shape[-1] >= PALLAS_MIN_PIXELS
+    big = _use_fused(I0.shape)
     state = jnp.stack([u1, u2, zero, zero, zero, zero], axis=1)
+
+    if big:
+        state_p = pad_hw(state)
+        for iters in iter_schedule:
+            u1 = state_p[:, 0, :ny, :nx]
+            u2 = state_p[:, 1, :ny, :nx]
+            I1w, I1wx, I1wy = _warp3(I1, I1x, I1y, u1, u2, dmax)
+            grad = I1wx * I1wx + I1wy * I1wy
+            rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
+            const_p = pad_hw(jnp.stack([I1wx, I1wy, rho_c, grad], axis=1))
+            state_p, _ = tvl1_iterate_padded(state_p, const_p, ny, nx,
+                                             iters, l_t, theta, taut)
+        return state_p[:, 0, :ny, :nx], state_p[:, 1, :ny, :nx]
 
     for iters in iter_schedule:
         u1, u2 = state[:, 0], state[:, 1]
@@ -91,23 +111,14 @@ def tvl1_scale_fixed(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
         grad = I1wx * I1wx + I1wy * I1wy
         rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
 
-        if big:
-            const = jnp.stack([I1wx, I1wy, rho_c, grad], axis=1)
-            left = iters
-            while left > 0:
-                m = min(left, MAX_FUSED_ITERS)
-                state, _ = tvl1_iterate_pallas(state, const, m, l_t, theta,
-                                               taut)
-                left -= m
-        else:
-            def body(_, c):
-                return _inner_step(c[0], c[1], c[2], c[3], c[4], c[5],
-                                   I1wx, I1wy, rho_c, grad, l_t, theta,
-                                   taut)[:6]
+        def body(_, c):
+            return _inner_step(c[0], c[1], c[2], c[3], c[4], c[5],
+                               I1wx, I1wy, rho_c, grad, l_t, theta,
+                               taut)[:6]
 
-            parts = jax.lax.fori_loop(
-                0, iters, body, tuple(state[:, k] for k in range(6)))
-            state = jnp.stack(parts, axis=1)
+        parts = jax.lax.fori_loop(
+            0, iters, body, tuple(state[:, k] for k in range(6)))
+        state = jnp.stack(parts, axis=1)
     return state[:, 0], state[:, 1]
 
 
@@ -121,13 +132,41 @@ def tvl1_scale_error(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
     the reference operating point, batched."""
     l_t = lam * theta
     taut = tau / theta
-    size = I0.shape[-2] * I0.shape[-1]
+    ny, nx = I0.shape[-2:]
+    size = ny * nx
     thresh = epsilon * epsilon * size
     I1x, I1y = centered_gradient(I1)
     zero = jnp.zeros_like(u1)
-    big = I0.shape[-2] * I0.shape[-1] >= PALLAS_MIN_PIXELS
+    big = _use_fused(I0.shape)
     state = jnp.stack([u1, u2, zero, zero, zero, zero], axis=1)
     B = I0.shape[0]
+
+    if big:
+        state_p = pad_hw(state)
+        for _ in range(warps):
+            u1 = state_p[:, 0, :ny, :nx]
+            u2 = state_p[:, 1, :ny, :nx]
+            I1w, I1wx, I1wy = _warp3(I1, I1x, I1y, u1, u2, dmax)
+            grad = I1wx * I1wx + I1wy * I1wy
+            rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
+            const_p = pad_hw(jnp.stack([I1wx, I1wy, rho_c, grad], axis=1))
+
+            def cond(c):
+                return jnp.any(c[1] > thresh) & (c[2] < max_iterations)
+
+            def body(c):
+                st, err, n = c
+                new_st, new_err = tvl1_iterate_padded(
+                    st, const_p, ny, nx, ERROR_CHUNK, l_t, theta, taut)
+                active = err > thresh
+                st = jnp.where(active[:, None, None, None], new_st, st)
+                err = jnp.where(active, new_err, err)
+                return st, err, n + ERROR_CHUNK
+
+            init = (state_p, jnp.full((B,), jnp.inf, dtype=I0.dtype),
+                    jnp.asarray(0, jnp.int32))
+            state_p, _, _ = jax.lax.while_loop(cond, body, init)
+        return state_p[:, 0, :ny, :nx], state_p[:, 1, :ny, :nx]
 
     for _ in range(warps):
         u1, u2 = state[:, 0], state[:, 1]
@@ -135,47 +174,27 @@ def tvl1_scale_error(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
         grad = I1wx * I1wx + I1wy * I1wy
         rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
 
-        if big:
-            const = jnp.stack([I1wx, I1wy, rho_c, grad], axis=1)
+        def cond(c):
+            return jnp.any(c[1] > thresh) & (c[2] < max_iterations)
 
-            def cond(c):
-                return jnp.any(c[1] > thresh) & (c[2] < max_iterations)
+        def body(c):
+            state, err, n = c
+            parts = _inner_step(*(state[:, k] for k in range(6)),
+                                I1wx, I1wy, rho_c, grad, l_t, theta,
+                                taut)
+            new_state = jnp.stack(parts[:6], axis=1)
+            new_err = jnp.sum(
+                (new_state[:, 0] - state[:, 0]) ** 2
+                + (new_state[:, 1] - state[:, 1]) ** 2, axis=(-2, -1))
+            active = err > thresh
+            state = jnp.where(active[:, None, None, None], new_state,
+                              state)
+            err = jnp.where(active, new_err, err)
+            return state, err, n + 1
 
-            def body(c):
-                state, err, n = c
-                new_state, new_err = tvl1_iterate_pallas(
-                    state, const, ERROR_CHUNK, l_t, theta, taut)
-                active = err > thresh
-                state = jnp.where(active[:, None, None, None], new_state,
-                                  state)
-                err = jnp.where(active, new_err, err)
-                return state, err, n + ERROR_CHUNK
-
-            init = (state, jnp.full((B,), jnp.inf, dtype=I0.dtype),
-                    jnp.asarray(0, jnp.int32))
-            state, _, _ = jax.lax.while_loop(cond, body, init)
-        else:
-            def cond(c):
-                return jnp.any(c[1] > thresh) & (c[2] < max_iterations)
-
-            def body(c):
-                state, err, n = c
-                parts = _inner_step(*(state[:, k] for k in range(6)),
-                                    I1wx, I1wy, rho_c, grad, l_t, theta,
-                                    taut)
-                new_state = jnp.stack(parts[:6], axis=1)
-                new_err = jnp.sum(
-                    (new_state[:, 0] - state[:, 0]) ** 2
-                    + (new_state[:, 1] - state[:, 1]) ** 2, axis=(-2, -1))
-                active = err > thresh
-                state = jnp.where(active[:, None, None, None], new_state,
-                                  state)
-                err = jnp.where(active, new_err, err)
-                return state, err, n + 1
-
-            init = (state, jnp.full((B,), jnp.inf, dtype=I0.dtype),
-                    jnp.asarray(0, jnp.int32))
-            state, _, _ = jax.lax.while_loop(cond, body, init)
+        init = (state, jnp.full((B,), jnp.inf, dtype=I0.dtype),
+                jnp.asarray(0, jnp.int32))
+        state, _, _ = jax.lax.while_loop(cond, body, init)
     return state[:, 0], state[:, 1]
 
 
@@ -234,7 +253,7 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
     return u1, u2
 
 
-HS_SOR_CHUNK = 4  # sweeps per fused kernel call in error mode (halo 16)
+HS_SOR_CHUNK = 6  # sweeps per fused kernel call in error mode
 
 
 def hs_scale_batched(I1, I2, u, v, dmax, alpha=7.0, warps=10, tol=1e-4,
@@ -247,12 +266,13 @@ def hs_scale_batched(I1, I2, u, v, dmax, alpha=7.0, warps=10, tol=1e-4,
     Reference per-warp system constants:
     src/horn_schunck_pyramidal.cpp:128-137."""
     from tpuflow.models.hs_pyramidal import _four_colors, _sor_sweep
-    from tpuflow.ops.hs_pallas import hs_sor_pallas
+    from tpuflow.ops.hs_pallas import hs_sor_padded
 
     alpha2 = alpha * alpha
-    size = I1.shape[-2] * I1.shape[-1]
+    ny, nx = I1.shape[-2:]
+    size = ny * nx
     thresh = (tol * tol) * size  # sqrt(err/size) > tol  <=>  err > tol^2*size
-    big = size >= PALLAS_MIN_PIXELS
+    big = _use_fused(I1.shape)
     I2x, I2y = centered_gradient(I2)
     B = I1.shape[0]
 
@@ -266,31 +286,29 @@ def hs_scale_batched(I1, I2, u, v, dmax, alpha=7.0, warps=10, tol=1e-4,
         D = I2wx * I2wy
 
         if big:
-            state = jnp.stack([u, v], axis=1)
-            const = jnp.stack([Au, Av, Du, Dv, D], axis=1)
+            state_p = pad_hw(jnp.stack([u, v], axis=1))
+            const_p = pad_hw(jnp.stack([Au, Av, Du, Dv, D], axis=1))
             if stop == "error":
                 def cond(c):
                     return jnp.any(c[1] > thresh) & (c[2] < maxiter)
 
                 def body(c):
                     st, err, n = c
-                    new_st, new_err = hs_sor_pallas(st, const, HS_SOR_CHUNK,
-                                                    alpha2)
+                    new_st, new_err = hs_sor_padded(st, const_p, ny, nx,
+                                                    HS_SOR_CHUNK, alpha2)
                     active = err > thresh
                     st = jnp.where(active[:, None, None, None], new_st, st)
                     err = jnp.where(active, new_err, err)
                     return st, err, n + HS_SOR_CHUNK
 
-                init = (state, jnp.full((B,), jnp.inf, dtype=I1.dtype),
+                init = (state_p, jnp.full((B,), jnp.inf, dtype=I1.dtype),
                         jnp.asarray(0, jnp.int32))
-                state, _, _ = jax.lax.while_loop(cond, body, init)
+                state_p, _, _ = jax.lax.while_loop(cond, body, init)
             else:
-                left = sweep_schedule[min(wi, len(sweep_schedule) - 1)]
-                while left > 0:
-                    m = min(left, HS_SOR_CHUNK)
-                    state, _ = hs_sor_pallas(state, const, m, alpha2)
-                    left -= m
-            u, v = state[:, 0], state[:, 1]
+                m = sweep_schedule[min(wi, len(sweep_schedule) - 1)]
+                state_p, _ = hs_sor_padded(state_p, const_p, ny, nx, m,
+                                           alpha2)
+            u, v = state_p[:, 0, :ny, :nx], state_p[:, 1, :ny, :nx]
         else:
             colors = _four_colors(I1.shape[-2:])
 
