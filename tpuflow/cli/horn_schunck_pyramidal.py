@@ -51,7 +51,7 @@ def main(argv=None):
     I0, I1 = load_pair(image1, image2)
     u, v = hs_pyramidal(jnp.asarray(I0), jnp.asarray(I1), alpha=alpha,
                         nscales=nscales, zfactor=zfactor, warps=nwarps,
-                        tol=tol, maxiter=maxiter)
+                        tol=tol, maxiter=maxiter, verbose=verbose)
     save_flow(outfile, u, v)
     return 0
 

@@ -53,7 +53,7 @@ def main(argv=None):
     I0, I1 = load_pair(image1, image2)
     u, v = tvl1_multiscale(jnp.asarray(I0), jnp.asarray(I1), tau=tau, lam=lam,
                            theta=theta, nscales=nscales, zfactor=zfactor,
-                           warps=nwarps, epsilon=epsilon)
+                           warps=nwarps, epsilon=epsilon, verbose=verbose)
     save_flow(outfile, u, v)
     return 0
 

@@ -83,10 +83,16 @@ def run_pyramid(images, nscales, zfactor, solve_scale,
         u1 = jnp.zeros((ny, nx), dtype=dtype)
         u2 = jnp.zeros((ny, nx), dtype=dtype)
         start = nscales - 1
+    import inspect
+
+    takes_scale = "scale" in inspect.signature(solve_scale).parameters
     for s in range(start, -1, -1):
         scope = f"{trace_name or 'pyramid'}/level_{s}"
         with trace_scope(scope):
-            out = solve_scale(levels[s], u1, u2)
+            if takes_scale:
+                out = solve_scale(levels[s], u1, u2, scale=s)
+            else:
+                out = solve_scale(levels[s], u1, u2)
         u1, u2 = out[0], out[1]
         extras = out[2:] if len(out) > 2 else None
         if level_callback is not None:

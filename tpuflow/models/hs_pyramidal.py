@@ -102,9 +102,15 @@ def _sor_sweep(u, v, Au, Av, Du, Dv, D, al, colors):
 
 
 def hs_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, warps=DEFAULT_WARPS,
-             tol=DEFAULT_TOL, maxiter=DEFAULT_MAXITER, stop="error"):
+             tol=DEFAULT_TOL, maxiter=DEFAULT_MAXITER, stop="error",
+             with_diag=False):
     """Single-scale warping Horn-Schunck (reference
-    horn_schunck_optical_flow, src/horn_schunck_pyramidal.cpp:78-249)."""
+    horn_schunck_optical_flow, src/horn_schunck_pyramidal.cpp:78-249).
+
+    `with_diag=True` additionally returns a dict of per-warp stopping
+    stats (`iterations` (warps,) int32, `error` (warps,)) — the scalars
+    the reference prints when verbose
+    (src/horn_schunck_pyramidal.cpp:233-235)."""
     dtype = I1.dtype
     size = I1.size
     alpha2 = alpha * alpha
@@ -112,7 +118,7 @@ def hs_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, warps=DEFAULT_WARPS,
     planes = jnp.stack([I2, I2x, I2y])
     colors = _four_colors(I1.shape)
 
-    def warp_body(_, uv):
+    def warp_body(uv, _):
         u, v = uv
         I2w, I2wx, I2wy = warp_planes(planes, u, v, border_out=True)
         dif = I1 - I2w + I2wx * u + I2wy * v
@@ -132,30 +138,46 @@ def hs_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, warps=DEFAULT_WARPS,
                 return u, v, jnp.sqrt(err / size), n + 1
 
             init = (u, v, jnp.asarray(1000.0, dtype), jnp.asarray(0, jnp.int32))
-            u, v, _, _ = jax.lax.while_loop(cond, body, init)
+            u, v, err, n = jax.lax.while_loop(cond, body, init)
         else:
             def body(_, c):
-                u, v = c
-                u, v, _ = _sor_sweep(u, v, Au, Av, Du, Dv, D, alpha2, colors)
-                return u, v
+                u, v, _ = c
+                u, v, e = _sor_sweep(u, v, Au, Av, Du, Dv, D, alpha2, colors)
+                return u, v, jnp.sqrt(e / size)
 
-            u, v = jax.lax.fori_loop(0, maxiter, body, (u, v))
-        return u, v
+            u, v, err = jax.lax.fori_loop(
+                0, maxiter, body, (u, v, jnp.asarray(1000.0, dtype)))
+            n = jnp.asarray(maxiter, jnp.int32)
+        return (u, v), (n, err)
 
-    return jax.lax.fori_loop(0, warps, warp_body, (u, v))
+    (u, v), (ns, errs) = jax.lax.scan(warp_body, (u, v), None, length=warps)
+    if with_diag:
+        return u, v, {"iterations": ns, "error": errs}
+    return u, v
 
 
-@partial(jax.jit, static_argnames=("alpha", "warps", "tol", "maxiter", "stop"))
-def _hs_scale_jit(I1, I2, u, v, alpha, warps, tol, maxiter, stop):
-    return hs_scale(I1, I2, u, v, alpha, warps, tol, maxiter, stop)
+@partial(jax.jit, static_argnames=("alpha", "warps", "tol", "maxiter", "stop",
+                                   "with_diag"))
+def _hs_scale_jit(I1, I2, u, v, alpha, warps, tol, maxiter, stop,
+                  with_diag=False):
+    return hs_scale(I1, I2, u, v, alpha, warps, tol, maxiter, stop,
+                    with_diag=with_diag)
 
 
 def hs_pyramidal(I1, I2, alpha=DEFAULT_ALPHA, nscales=DEFAULT_NSCALES,
                  zfactor=DEFAULT_ZFACTOR, warps=DEFAULT_WARPS,
                  tol=DEFAULT_TOL, maxiter=DEFAULT_MAXITER, stop="error",
-                 clamp_scales=True):
+                 clamp_scales=True, verbose=False, with_diag=False):
     """Multiscale warping Horn-Schunck (reference horn_schunck_pyramidal,
-    src/horn_schunck_pyramidal.cpp:258-370)."""
+    src/horn_schunck_pyramidal.cpp:258-370).
+
+    `verbose` prints the reference binary's stderr lines: the multiscale
+    header (src/horn_schunck_pyramidal.cpp:274-277), `Scale: %d %dx%d`
+    per level (:326-328), and per warp `Warping %d: Iterations %d (%g)`
+    (:118-120, :233-235).  `with_diag=True` returns (u, v, diags) with
+    diags[s] the per-warp stats dict of scale s (finest first)."""
+    import sys
+
     from tpuflow.ops import clamp_nscales
 
     ny, nx = I1.shape[-2:]
@@ -164,9 +186,31 @@ def hs_pyramidal(I1, I2, alpha=DEFAULT_ALPHA, nscales=DEFAULT_NSCALES,
         # >= 16 px (src/horn_schunck_pyramidal_main.cpp:141-144)
         nscales = clamp_nscales(nx, ny, zfactor, nscales, use_hypot=True)
 
-    def solve(images, u, v):
+    if verbose:
+        print(f"Multiscale Horn-Schunck of a {nx}x{ny} pair\n"
+              f"\ta={alpha:g} ns={nscales} zf={zfactor:g} nw={warps} "
+              f"eps={tol:g} mi={maxiter}", file=sys.stderr)
+
+    diag = with_diag or verbose
+    diags = [None] * nscales
+
+    def solve(images, u, v, scale=None):
         lvl1, lvl2 = images
-        return _hs_scale_jit(lvl1, lvl2, u, v, alpha, warps, tol, maxiter, stop)
+        out = _hs_scale_jit(lvl1, lvl2, u, v, alpha, warps, tol, maxiter,
+                            stop, with_diag=diag)
+        if diag:
+            u, v, d = out
+            diags[scale] = d
+            if verbose:
+                lny, lnx = lvl1.shape[-2:]
+                print(f"Scale: {scale} {lnx}x{lny}", file=sys.stderr)
+                for w in range(warps):
+                    print(f"Warping {w}: Iterations {int(d['iterations'][w])} "
+                          f"({float(d['error'][w]):g})", file=sys.stderr)
+            return u, v
+        return out
 
     u, v, _ = run_pyramid((I1, I2), nscales, zfactor, solve)
+    if with_diag:
+        return u, v, diags
     return u, v

@@ -87,10 +87,15 @@ def _inner_step(u1, u2, p11, p12, p21, p22, I1wx, I1wy, rho_c, grad,
 def tvl1_scale(I0, I1, u1, u2, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
                theta=DEFAULT_THETA, warps=DEFAULT_WARPS,
                epsilon=DEFAULT_EPSILON, max_iterations=MAX_ITERATIONS,
-               stop="error"):
+               stop="error", with_diag=False):
     """Single-scale TV-L1 (reference Dual_TVL1_optic_flow,
     src/tvl1flow.cpp:46-212).  Inputs are assumed normalized+presmoothed
-    (the multiscale driver does that)."""
+    (the multiscale driver does that).
+
+    `with_diag=True` additionally returns a dict with per-warp stopping
+    statistics — `iterations` (warps,) int32 and `error` (warps,) — the
+    scalars the reference prints when verbose (src/tvl1flow.cpp:184-188).
+    """
     dtype = I0.dtype
     l_t = lam * theta
     taut = tau / theta
@@ -99,7 +104,7 @@ def tvl1_scale(I0, I1, u1, u2, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
     planes = jnp.stack([I1, I1x, I1y])
     zero = jnp.zeros_like(u1)
 
-    def warp_body(_, carry):
+    def warp_body(carry, _):
         u1, u2, p11, p12, p21, p22 = carry
         I1w, I1wx, I1wy = warp_planes(planes, u1, u2, border_out=True)
         grad = I1wx * I1wx + I1wy * I1wy
@@ -116,26 +121,33 @@ def tvl1_scale(I0, I1, u1, u2, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
 
             init = (u1, u2, p11, p12, p21, p22,
                     jnp.asarray(jnp.inf, dtype=dtype), jnp.asarray(0, jnp.int32))
-            return jax.lax.while_loop(cond, body, init)[:6]
+            fin = jax.lax.while_loop(cond, body, init)
+            return fin[:6], (fin[7], fin[6])
 
         def body(_, c):
-            return _inner_step(c[0], c[1], c[2], c[3], c[4], c[5],
-                               I1wx, I1wy, rho_c, grad, l_t, theta, taut)[:6]
+            out = _inner_step(c[0], c[1], c[2], c[3], c[4], c[5],
+                              I1wx, I1wy, rho_c, grad, l_t, theta, taut)
+            return out[:6] + (out[6],)
 
-        return jax.lax.fori_loop(0, max_iterations, body,
-                                 (u1, u2, p11, p12, p21, p22))
+        fin = jax.lax.fori_loop(
+            0, max_iterations, body,
+            (u1, u2, p11, p12, p21, p22, jnp.asarray(jnp.inf, dtype=dtype)))
+        return fin[:6], (jnp.asarray(max_iterations, jnp.int32), fin[6])
 
-    u1, u2, _, _, _, _ = jax.lax.fori_loop(
-        0, warps, warp_body, (u1, u2, zero, zero, zero, zero))
+    carry, (ns, errs) = jax.lax.scan(
+        warp_body, (u1, u2, zero, zero, zero, zero), None, length=warps)
+    u1, u2 = carry[0], carry[1]
+    if with_diag:
+        return u1, u2, {"iterations": ns, "error": errs}
     return u1, u2
 
 
 @partial(jax.jit, static_argnames=("tau", "lam", "theta", "warps", "epsilon",
-                                   "max_iterations", "stop"))
+                                   "max_iterations", "stop", "with_diag"))
 def _tvl1_scale_jit(I0, I1, u1, u2, tau, lam, theta, warps, epsilon,
-                    max_iterations, stop):
+                    max_iterations, stop, with_diag=False):
     return tvl1_scale(I0, I1, u1, u2, tau, lam, theta, warps, epsilon,
-                      max_iterations, stop)
+                      max_iterations, stop, with_diag=with_diag)
 
 
 def tvl1_multiscale(I0, I1, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
@@ -143,25 +155,49 @@ def tvl1_multiscale(I0, I1, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
                     zfactor=DEFAULT_ZFACTOR, warps=DEFAULT_WARPS,
                     epsilon=DEFAULT_EPSILON, max_iterations=MAX_ITERATIONS,
                     stop="error", clamp_scales=True, level_callback=None,
-                    resume=None):
+                    resume=None, verbose=False, with_diag=False):
     """Multiscale TV-L1 (reference Dual_TVL1_optic_flow_multiscale,
-    src/tvl1flow.cpp:219-328).  Returns (u, v).
+    src/tvl1flow.cpp:219-328).  Returns (u, v), or (u, v, diags) with
+    `with_diag=True` where diags[s] is the per-warp stopping-statistic
+    dict of scale s (finest first, None for levels skipped by resume).
 
     `clamp_scales` applies the CLI's auto-clamp so the coarsest level
     stays >= 16 px along the diagonal (src/tvl1flow_main.cpp:185-187).
     `level_callback`/`resume` are the checkpoint/observability hooks
-    (tpuflow.utils.checkpoint; SURVEY.md §5.4).
+    (tpuflow.utils.checkpoint; SURVEY.md §5.4).  `verbose` prints the
+    reference binary's stderr lines: `Scale %d: %dx%d` per level
+    (src/tvl1flow.cpp:284-286) and `Warping: %d, Iterations: %d,
+    Error: %f` per warp (src/tvl1flow.cpp:184-188).
     """
+    import sys
+
     ny, nx = I0.shape[-2:]
     if clamp_scales:
         nscales = clamp_nscales(nx, ny, zfactor, nscales, use_hypot=True)
 
-    def solve(images, u1, u2):
+    diag = with_diag or verbose
+    diags = [None] * nscales
+
+    def solve(images, u1, u2, scale=None):
         lvl_I0, lvl_I1 = images
-        return _tvl1_scale_jit(lvl_I0, lvl_I1, u1, u2, tau, lam, theta,
-                               warps, epsilon, max_iterations, stop)
+        out = _tvl1_scale_jit(lvl_I0, lvl_I1, u1, u2, tau, lam, theta,
+                              warps, epsilon, max_iterations, stop,
+                              with_diag=diag)
+        if diag:
+            u1, u2, d = out
+            diags[scale] = d
+            if verbose:
+                lny, lnx = lvl_I0.shape[-2:]
+                print(f"Scale {scale}: {lnx}x{lny}", file=sys.stderr)
+                for w in range(warps):
+                    print(f"Warping: {w}, Iterations: {int(d['iterations'][w])}, "
+                          f"Error: {float(d['error'][w]):f}", file=sys.stderr)
+            return u1, u2
+        return out
 
     u1, u2, _ = run_pyramid((I0, I1), nscales, zfactor, solve,
                             level_callback=level_callback, resume=resume,
                             trace_name="tvl1")
+    if with_diag:
+        return u1, u2, diags
     return u1, u2
