@@ -51,6 +51,15 @@ def main(argv=None):
     epsilon = clamp(epsilon, lambda x: x > 0, DEFAULT_EPSILON, "epsilon", verbose)
 
     I0, I1 = load_pair(image1, image2)
+    if verbose:
+        # params header after the nscales auto-clamp, reference
+        # src/tvl1flow_main.cpp:185-196
+        from tpuflow.ops import clamp_nscales
+        ny, nx = I0.shape[-2:]
+        ns = clamp_nscales(nx, ny, zfactor, nscales, use_hypot=True)
+        print(f"nproc={_nproc} tau={tau:f} lambda={lam:f} theta={theta:f} "
+              f"nscales={ns} zfactor={zfactor:f} nwarps={nwarps} "
+              f"epsilon={epsilon:g}", file=sys.stderr)
     u, v = tvl1_multiscale(jnp.asarray(I0), jnp.asarray(I1), tau=tau, lam=lam,
                            theta=theta, nscales=nscales, zfactor=zfactor,
                            warps=nwarps, epsilon=epsilon, verbose=verbose)
