@@ -2,30 +2,42 @@
 """tpuflow benchmark driver.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "extra": {...}}
 
 Headline metric (BASELINE.json): TV-L1 flow fields/sec/chip at 1024x436
 with the reference CLI's default parameters (tau=0.25 lambda=0.15
 theta=0.3 nscales auto-clamped to 7, zfactor=0.5, 5 warps,
-epsilon=0.01, data-dependent stopping).
+epsilon=0.01, data-dependent stopping).  The `extra` field carries the
+second north-star config — pyramidal Horn-Schunck at the reference
+defaults (alpha=7, 10 warps, tol=1e-4) — plus the fixed-schedule TV-L1
+number.
 
 `vs_baseline` compares against the reference C++/OpenMP binary measured
-on this container's CPU (see tools/bench_reference.py; value cached in
-BASELINE_MEASURED below after first measurement).
+on this container's CPU by tools/bench_reference.py, read from the
+checked-in artifact tools/baseline_measured.json.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Reference `tvl1flow` binary, default params, 1024x436 synthetic pair,
-# 2-vCPU container, OMP all cores: measured by tools/bench_reference.py
-# on 2026-08-18 (0.73 s/field).
-BASELINE_MEASURED_FPS = 1.3787
+_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "baseline_measured.json")
+
+
+def _baseline():
+    """Measured reference-binary throughput (fields/s) per method."""
+    try:
+        with open(_ARTIFACT) as f:
+            return json.load(f)["fields_per_sec"]
+    except (OSError, KeyError, ValueError):
+        # 2026-08-18 measurement on this 2-vCPU container (OMP all cores)
+        return {"tvl1flow": 1.3787, "horn_schunck_pyramidal": 0.7}
 
 
 def synth_pair(ny=436, nx=1024, seed=7):
@@ -49,6 +61,14 @@ def synth_pair(ny=436, nx=1024, seed=7):
     return base.astype(np.float32), I1.astype(np.float32)
 
 
+def _time(run, n=5):
+    run()  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(n):
+        run()
+    return (time.perf_counter() - t0) / n
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -56,7 +76,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/tpuflow-jax-cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from tpuflow.models.batch import tvl1_batched
+    from tpuflow.models.batch import hs_pyramidal_batched, tvl1_batched
 
     # batch of distinct synthetic pairs; stop="error" reproduces the
     # reference CLI's data-dependent stopping per sample, so throughput
@@ -70,27 +90,41 @@ def main():
     I0 = jnp.asarray(np.stack(I0s), dtype=jnp.float32)
     I1 = jnp.asarray(np.stack(I1s), dtype=jnp.float32)
 
-    def run():
+    # NOTE: under remote-tunnel runtimes block_until_ready can return
+    # before execution finishes; fetching a scalar is the reliable
+    # completion barrier
+    def run_tvl1():
         u, v = tvl1_batched(I0, I1, stop="error")
-        # NOTE: under remote-tunnel runtimes block_until_ready can
-        # return before execution finishes; fetching a scalar is the
-        # reliable completion barrier
         return float(jnp.sum(u))
 
-    run()  # warmup/compile
-    n = 5
-    t0 = time.perf_counter()
-    for _ in range(n):
-        run()
-    dt = (time.perf_counter() - t0) / n
-    fps = B / dt
+    def run_tvl1_fixed():
+        u, v = tvl1_batched(I0, I1, stop="fixed")
+        return float(jnp.sum(u))
 
-    vs = fps / BASELINE_MEASURED_FPS if BASELINE_MEASURED_FPS else None
+    def run_hs():
+        u, v = hs_pyramidal_batched(I0, I1, stop="error")
+        return float(jnp.sum(u))
+
+    base = _baseline()
+    fps = B / _time(run_tvl1)
+    fps_fixed = B / _time(run_tvl1_fixed)
+    fps_hs = B / _time(run_hs)
+
+    base_tvl1 = base.get("tvl1flow") or 1.3787
+    base_hs = base.get("horn_schunck_pyramidal")
     print(json.dumps({
         "metric": "tvl1_fields_per_sec_1024x436",
         "value": round(fps, 3),
         "unit": "fields/s/chip",
-        "vs_baseline": round(vs, 2) if vs else None,
+        "vs_baseline": round(fps / base_tvl1, 2),
+        "extra": {
+            "tvl1_fixed_schedule": round(fps_fixed, 3),
+            "hs_pyramidal": round(fps_hs, 3),
+            "hs_pyramidal_vs_baseline":
+                round(fps_hs / base_hs, 2) if base_hs else None,
+            "reference_cpu_tvl1": base_tvl1,
+            "reference_cpu_hs": base_hs,
+        },
     }))
 
 

@@ -38,6 +38,24 @@ def test_sharded_matches_single_device(t_shards):
                                atol=1e-10)
 
 
+@pytest.mark.parametrize("frames", [4, 6, 7])
+def test_sharded_uneven_fields(frames):
+    """(T-1) not divisible by the mesh axis: padded fields are frozen
+    and real fields clamp temporal neighbors by global index, so the
+    result is still exactly the single-device one."""
+    vol = _volume(frames=frames)
+    mesh = make_mesh({"t": 4, "rest": -1})
+    kw = dict(outer_iter=2, inner_iter=1, stop="fixed", maxiter=8)
+    u0 = jnp.zeros((vol.shape[0] - 1,) + vol.shape[1:], dtype=vol.dtype)
+    u_ref, v_ref = brox_temporal_scale(vol, u0, u0, **kw)
+    u_sh, v_sh = brox_temporal_sharded(vol, mesh, **kw)
+    assert u_sh.shape == (frames - 1,) + vol.shape[1:]
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref),
+                               atol=1e-10)
+
+
 def test_sharded_error_stop():
     vol = _volume(frames=5)
     mesh = make_mesh({"t": 2, "rest": -1})

@@ -2,12 +2,15 @@
 """Measure the reference binaries' CPU throughput to anchor vs_baseline.
 
 Builds (if needed) via tools/build_reference.sh, generates the same
-synthetic 1024x436 pair bench.py uses, writes it as PGM, and times the
-reference `tvl1flow` and `horn_schunck_pyramidal` CLIs with default
-parameters using all CPU cores.
+synthetic 1024x436 pair bench.py uses, times the reference `tvl1flow`
+and `horn_schunck_pyramidal` CLIs with default parameters using all CPU
+cores, and writes the measurement artifact
+tools/baseline_measured.json that bench.py reads for `vs_baseline`.
 """
 
+import json
 import os
+import platform
 import subprocess
 import sys
 import tempfile
@@ -21,6 +24,8 @@ from bench import synth_pair
 import imageio.v3 as iio_lib
 
 BUILD = os.environ.get("REF_BUILD", "/tmp/refbuild")
+ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "baseline_measured.json")
 
 
 def main():
@@ -28,11 +33,12 @@ def main():
         subprocess.run(["bash", os.path.join(os.path.dirname(__file__),
                                              "build_reference.sh")], check=True)
     I0, I1 = synth_pair()
+    results = {}
     with tempfile.TemporaryDirectory() as d:
         p0 = os.path.join(d, "i0.png")
         p1 = os.path.join(d, "i1.png")
-        iio_lib.imwrite(p0, I0.clip(0,255).astype("uint8"))
-        iio_lib.imwrite(p1, I1.clip(0,255).astype("uint8"))
+        iio_lib.imwrite(p0, I0.clip(0, 255).astype("uint8"))
+        iio_lib.imwrite(p1, I1.clip(0, 255).astype("uint8"))
         for name, cmd in (
             ("tvl1flow", [os.path.join(BUILD, "tvl1flow"), p0, p1,
                           os.path.join(d, "f.flo")]),
@@ -44,6 +50,19 @@ def main():
             dt = time.perf_counter() - t0
             print(f"{name}: {dt:.2f} s/field = {1.0/dt:.4f} fields/s "
                   f"(cores={os.cpu_count()})")
+            results[name] = round(1.0 / dt, 4)
+    artifact = {
+        "shape": "1024x436",
+        "unit": "fields/s",
+        "cores": os.cpu_count(),
+        "machine": platform.machine(),
+        "measured_at": time.strftime("%Y-%m-%d"),
+        "fields_per_sec": results,
+    }
+    with open(ARTIFACT, "w") as f:
+        json.dump(artifact, f, indent=1)
+        f.write("\n")
+    print(f"wrote {ARTIFACT}")
 
 
 if __name__ == "__main__":

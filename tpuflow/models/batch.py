@@ -26,9 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from tpuflow.models.tvl1 import _inner_step
-from tpuflow.ops import centered_gradient, clamp_nscales, gaussian, pyramid_sizes, zoom_out
+from tpuflow.ops import centered_gradient, clamp_nscales
 from tpuflow.ops.interp import warp_planes_shift
-from tpuflow.ops.pyramid import zoom_in
 from tpuflow.ops.tvl1_pallas import fits_vmem, pad_hw, tvl1_iterate_padded
 from tpuflow.ops.warp_pallas import warp_planes_pallas_batched
 
@@ -198,14 +197,61 @@ def tvl1_scale_error(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
     return state[:, 0], state[:, 1]
 
 
+def _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor, iter_schedule,
+                  max_motion, stop, warps, epsilon, max_iterations,
+                  level_callback=None, resume=None):
+    """Shared batched TV-L1 pyramid over run_pyramid_state (SURVEY §5.4:
+    one driver = uniform checkpoint/resume/trace hooks)."""
+    from tpuflow.models.common import run_pyramid_state
+
+    B, ny, nx = I0.shape
+    if nscales is None:
+        nscales = clamp_nscales(nx, ny, zfactor, 100, use_hypot=True)
+
+    def state_init(size, dtype):
+        cnx, cny = size
+        z = jnp.zeros((B, cny, cnx), dtype=dtype)
+        return {"u1": z, "u2": z}
+
+    def solve(level_images, state, scale):
+        dmax = max(3, math.ceil(max_motion * (zfactor ** scale)))
+        l0, l1 = level_images
+        u1, u2 = state["u1"], state["u2"]
+        if stop == "error":
+            u1, u2 = tvl1_scale_error(l0, l1, u1, u2, dmax=dmax, tau=tau,
+                                      lam=lam, theta=theta, warps=warps,
+                                      epsilon=epsilon,
+                                      max_iterations=max_iterations)
+        else:
+            u1, u2 = tvl1_scale_fixed(l0, l1, u1, u2, dmax=dmax, tau=tau,
+                                      lam=lam, theta=theta,
+                                      iter_schedule=iter_schedule)
+        return {"u1": u1, "u2": u2}
+
+    state = run_pyramid_state(
+        (I0, I1), nscales, zfactor, solve, presmooth=0.8,
+        preprocess=lambda ims: _normalize_pair_batched(*ims),
+        state_init=state_init, level_callback=level_callback,
+        resume=resume, trace_name="tvl1_batched")
+    return state["u1"], state["u2"]
+
+
 @partial(jax.jit, static_argnames=("tau", "lam", "theta", "nscales",
                                    "zfactor", "iter_schedule", "max_motion",
                                    "stop", "warps", "epsilon",
                                    "max_iterations"))
+def _tvl1_batched_jit(I0, I1, tau, lam, theta, nscales, zfactor,
+                      iter_schedule, max_motion, stop, warps, epsilon,
+                      max_iterations):
+    return _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor,
+                         iter_schedule, max_motion, stop, warps, epsilon,
+                         max_iterations)
+
+
 def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
                  zfactor=0.5, iter_schedule=DEFAULT_ITER_SCHEDULE,
                  max_motion=8, stop="error", warps=5, epsilon=0.01,
-                 max_iterations=300):
+                 max_iterations=300, level_callback=None, resume=None):
     """Batched multiscale TV-L1: (B, H, W) pairs -> (B, H, W) flows.
 
     One jit covers the whole pyramid (static level shapes), so a call is
@@ -216,41 +262,20 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
     point: per-sample data-dependent stopping at epsilon, checked every
     ERROR_CHUNK iterations with converged samples frozen.
     stop="fixed" runs `iter_schedule` per warp — fully static, fastest.
+
+    `level_callback(scale, state)` / `resume=(scale, state)` enable
+    per-level checkpointing; that path runs the pyramid level-by-level
+    on the host (each level's solve still compiled) so flows are
+    materialized between levels.
     """
-    B, ny, nx = I0.shape
-    if nscales is None:
-        nscales = clamp_nscales(nx, ny, zfactor, 100, use_hypot=True)
-
-    I0n, I1n = _normalize_pair_batched(I0, I1)
-    I0n = gaussian(I0n, 0.8)
-    I1n = gaussian(I1n, 0.8)
-
-    sizes = pyramid_sizes(nx, ny, zfactor, nscales)
-    levels = [(I0n, I1n)]
-    for s in range(1, nscales):
-        levels.append(tuple(zoom_out(im, zfactor, out_size=sizes[s])
-                            for im in levels[-1]))
-
-    cnx, cny = sizes[-1]
-    u1 = jnp.zeros((B, cny, cnx), dtype=I0.dtype)
-    u2 = jnp.zeros((B, cny, cnx), dtype=I0.dtype)
-    for s in range(nscales - 1, -1, -1):
-        dmax = max(3, math.ceil(max_motion * (zfactor ** s)))
-        l0, l1 = levels[s]
-        if stop == "error":
-            u1, u2 = tvl1_scale_error(l0, l1, u1, u2, dmax=dmax, tau=tau,
-                                      lam=lam, theta=theta, warps=warps,
-                                      epsilon=epsilon,
-                                      max_iterations=max_iterations)
-        else:
-            u1, u2 = tvl1_scale_fixed(l0, l1, u1, u2, dmax=dmax, tau=tau,
-                                      lam=lam, theta=theta,
-                                      iter_schedule=iter_schedule)
-        if s > 0:
-            inv = 1.0 / zfactor
-            u1 = zoom_in(u1, sizes[s - 1]) * inv
-            u2 = zoom_in(u2, sizes[s - 1]) * inv
-    return u1, u2
+    if level_callback is None and resume is None:
+        return _tvl1_batched_jit(I0, I1, tau, lam, theta, nscales, zfactor,
+                                 iter_schedule, max_motion, stop, warps,
+                                 epsilon, max_iterations)
+    return _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor,
+                         iter_schedule, max_motion, stop, warps, epsilon,
+                         max_iterations, level_callback=level_callback,
+                         resume=resume)
 
 
 HS_SOR_CHUNK = 6  # sweeps per fused kernel call in error mode
@@ -335,41 +360,54 @@ def hs_scale_batched(I1, I2, u, v, dmax, alpha=7.0, warps=10, tol=1e-4,
     return u, v
 
 
-@partial(jax.jit, static_argnames=("alpha", "nscales", "zfactor", "warps",
-                                   "tol", "maxiter", "max_motion", "stop"))
-def hs_pyramidal_batched(I1, I2, alpha=7.0, nscales=None, zfactor=0.5,
-                         warps=10, tol=1e-4, maxiter=150, max_motion=8,
-                         stop="error"):
-    """Batched multiscale warping Horn-Schunck: (B, H, W) -> (B, H, W).
+def _hs_pyramid(I1, I2, alpha, nscales, zfactor, warps, tol, maxiter,
+                max_motion, stop, level_callback=None, resume=None):
+    from tpuflow.models.common import run_pyramid_state
 
-    The second throughput config of BASELINE.md (reference
-    src/horn_schunck_pyramidal.cpp).  Same pyramid/driver design as
-    `tvl1_batched`."""
     B, ny, nx = I1.shape
     if nscales is None:
         nscales = clamp_nscales(nx, ny, zfactor, 10, use_hypot=True)
 
-    I1n, I2n = _normalize_pair_batched(I1, I2)
-    I1n = gaussian(I1n, 0.8)
-    I2n = gaussian(I2n, 0.8)
+    def state_init(size, dtype):
+        cnx, cny = size
+        z = jnp.zeros((B, cny, cnx), dtype=dtype)
+        return {"u1": z, "u2": z}
 
-    sizes = pyramid_sizes(nx, ny, zfactor, nscales)
-    levels = [(I1n, I2n)]
-    for s in range(1, nscales):
-        levels.append(tuple(zoom_out(im, zfactor, out_size=sizes[s])
-                            for im in levels[-1]))
+    def solve(level_images, state, scale):
+        dmax = max(3, math.ceil(max_motion * (zfactor ** scale)))
+        l1, l2 = level_images
+        u, v = hs_scale_batched(l1, l2, state["u1"], state["u2"], dmax=dmax,
+                                alpha=alpha, warps=warps, tol=tol,
+                                maxiter=maxiter, stop=stop)
+        return {"u1": u, "u2": v}
 
-    cnx, cny = sizes[-1]
-    u = jnp.zeros((B, cny, cnx), dtype=I1.dtype)
-    v = jnp.zeros((B, cny, cnx), dtype=I1.dtype)
-    for s in range(nscales - 1, -1, -1):
-        dmax = max(3, math.ceil(max_motion * (zfactor ** s)))
-        l1, l2 = levels[s]
-        u, v = hs_scale_batched(l1, l2, u, v, dmax=dmax, alpha=alpha,
-                                warps=warps, tol=tol, maxiter=maxiter,
-                                stop=stop)
-        if s > 0:
-            inv = 1.0 / zfactor
-            u = zoom_in(u, sizes[s - 1]) * inv
-            v = zoom_in(v, sizes[s - 1]) * inv
-    return u, v
+    state = run_pyramid_state(
+        (I1, I2), nscales, zfactor, solve, presmooth=0.8,
+        preprocess=lambda ims: _normalize_pair_batched(*ims),
+        state_init=state_init, level_callback=level_callback,
+        resume=resume, trace_name="hs_batched")
+    return state["u1"], state["u2"]
+
+
+@partial(jax.jit, static_argnames=("alpha", "nscales", "zfactor", "warps",
+                                   "tol", "maxiter", "max_motion", "stop"))
+def _hs_batched_jit(I1, I2, alpha, nscales, zfactor, warps, tol, maxiter,
+                    max_motion, stop):
+    return _hs_pyramid(I1, I2, alpha, nscales, zfactor, warps, tol, maxiter,
+                       max_motion, stop)
+
+
+def hs_pyramidal_batched(I1, I2, alpha=7.0, nscales=None, zfactor=0.5,
+                         warps=10, tol=1e-4, maxiter=150, max_motion=8,
+                         stop="error", level_callback=None, resume=None):
+    """Batched multiscale warping Horn-Schunck: (B, H, W) -> (B, H, W).
+
+    The second throughput config of BASELINE.md (reference
+    src/horn_schunck_pyramidal.cpp).  Same pyramid/driver design and
+    checkpoint hooks as `tvl1_batched`."""
+    if level_callback is None and resume is None:
+        return _hs_batched_jit(I1, I2, alpha, nscales, zfactor, warps, tol,
+                               maxiter, max_motion, stop)
+    return _hs_pyramid(I1, I2, alpha, nscales, zfactor, warps, tol, maxiter,
+                       max_motion, stop, level_callback=level_callback,
+                       resume=resume)

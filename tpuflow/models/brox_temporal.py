@@ -44,6 +44,7 @@ from tpuflow.models.brox_spatial import (
     psi_divergence,
     psi_weighted_divergence,
 )
+from tpuflow.models.common import run_pyramid_state
 from tpuflow.ops import (
     centered_gradient,
     centered_gradient3,
@@ -52,10 +53,7 @@ from tpuflow.ops import (
     dxy,
     dyy,
     gaussian,
-    pyramid_sizes,
     warp_planes,
-    zoom_in,
-    zoom_out,
 )
 from tpuflow.ops.gradients import _shift_clamp
 
@@ -213,11 +211,15 @@ def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                   nscales=DEFAULT_NSCALES, zfactor=DEFAULT_ZFACTOR,
                   tol=DEFAULT_TOL, inner_iter=DEFAULT_INNER,
                   outer_iter=DEFAULT_OUTER, stop="error",
-                  maxiter=MAXITER_SOR, clamp_scales=True):
+                  maxiter=MAXITER_SOR, clamp_scales=True,
+                  level_callback=None, resume=None):
     """Multiscale spatio-temporal Brox flow (reference
     brox_optic_flow_temporal, src/brox_optic_flow_temporal.cpp:520-626).
 
-    I: (T, H, W) with T >= 3; returns (T-1, H, W) u and v."""
+    I: (T, H, W) with T >= 3; returns (T-1, H, W) u and v.
+
+    `level_callback` / `resume` are the shared run_pyramid_state
+    checkpoint hooks (state keys u1/u2, each (T-1, h, w))."""
     frames, ny, nx = I.shape
     if frames <= 2:
         raise ValueError("The method needs more than two frames "
@@ -227,26 +229,32 @@ def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
         # (src/brox_temporal_main.cpp:141-147)
         nscales = clamp_nscales(nx, ny, zfactor, nscales, use_hypot=False)
 
-    # global [0,255] normalization over the whole volume
-    # (image_normalization_1, src/utils.cpp:251-276)
-    mn, mx = jnp.min(I), jnp.max(I)
-    den = mx - mn
-    In = jnp.where(den > 0, 255.0 * (I - mn) / jnp.where(den > 0, den, 1.0), I)
-    In = gaussian(In, PRESMOOTH_SIGMA)
+    def preprocess(images):
+        # global [0,255] normalization over the whole volume
+        # (image_normalization_1, src/utils.cpp:251-276) — NOT the
+        # per-leading-index normalize_joint
+        (vol,) = images
+        mn, mx = jnp.min(vol), jnp.max(vol)
+        den = mx - mn
+        von = jnp.where(den > 0,
+                        255.0 * (vol - mn) / jnp.where(den > 0, den, 1.0),
+                        vol)
+        return (gaussian(von, PRESMOOTH_SIGMA),)
 
-    sizes = pyramid_sizes(nx, ny, zfactor, nscales)
-    levels = [In]
-    for s in range(1, nscales):
-        levels.append(zoom_out(levels[-1], zfactor, out_size=sizes[s]))
+    def state_init(size, dtype):
+        cnx, cny = size
+        z = jnp.zeros((frames - 1, cny, cnx), dtype=dtype)
+        return {"u1": z, "u2": z}
 
-    cnx, cny = sizes[-1]
-    u = jnp.zeros((frames - 1, cny, cnx), dtype=I.dtype)
-    v = jnp.zeros((frames - 1, cny, cnx), dtype=I.dtype)
-    inv = 1.0 / zfactor
-    for s in range(nscales - 1, -1, -1):
-        u, v = _brox_temporal_scale_jit(levels[s], u, v, alpha, gamma, tol,
+    def solve(level_images, state, scale):
+        u, v = _brox_temporal_scale_jit(level_images[0], state["u1"],
+                                        state["u2"], alpha, gamma, tol,
                                         inner_iter, outer_iter, stop, maxiter)
-        if s > 0:
-            u = zoom_in(u, sizes[s - 1]) * inv
-            v = zoom_in(v, sizes[s - 1]) * inv
-    return u, v
+        return {"u1": u, "u2": v}
+
+    state = run_pyramid_state(
+        (I,), nscales, zfactor, solve,
+        presmooth=None, preprocess=preprocess, state_init=state_init,
+        level_callback=level_callback, resume=resume,
+        trace_name="brox_temporal")
+    return state["u1"], state["u2"]

@@ -61,7 +61,7 @@ from tpuflow.models.brox_spatial import (
     psi_divergence,
     psi_weighted_divergence,
 )
-from tpuflow.models.common import PRESMOOTHING_SIGMA, upsample_flow
+from tpuflow.models.common import PRESMOOTHING_SIGMA, run_pyramid_state
 from tpuflow.ops import (
     centered_gradient,
     clamp_nscales,
@@ -70,9 +70,7 @@ from tpuflow.ops import (
     dyy,
     gaussian,
     normalize_joint,
-    pyramid_sizes,
     warp_planes,
-    zoom_out,
 )
 
 EPSILON = 0.001   # ROBUST_EXPO_EPSILON, src/robust_expo_smoothness.h:16
@@ -238,11 +236,15 @@ def robust_expo(I1, I2, method_type=DEFAULT_METHOD, alpha=DEFAULT_ALPHA,
                 tol=DEFAULT_TOL, inner_iter=DEFAULT_INNER,
                 outer_iter=DEFAULT_OUTER, stop="error",
                 maxiter=MAXITER_SOR, clamp_scales=True,
-                presmooth_mode="reference"):
+                presmooth_mode="reference", level_callback=None,
+                resume=None):
     """Multiscale robust-expo flow (reference robust_expo_methods
     multiscale overload, src/robust_expo_methods.cpp:462-566).
 
     I1/I2: (H, W) grayscale or (C, H, W) channel planes.
+
+    `level_callback` / `resume` are the shared run_pyramid_state
+    checkpoint hooks (state keys u1/u2).
     """
     if I1.ndim == 2:
         I1 = I1[None]
@@ -252,35 +254,32 @@ def robust_expo(I1, I2, method_type=DEFAULT_METHOD, alpha=DEFAULT_ALPHA,
         # reference main clamps on min(nx, ny) >= 16
         nscales = clamp_nscales(nx, ny, zfactor, nscales, use_hypot=False)
 
-    # per-channel joint [0,255] normalization
-    # (image_normalization_2_color, src/utils.cpp:334-404)
-    I1n, I2n = normalize_joint(I1, I2)
-    if presmooth_mode == "reference":
-        I1n, I2n = _presmooth_reference(I1n), _presmooth_reference(I2n)
-    elif presmooth_mode == "clean":
-        I1n = gaussian(I1n, PRESMOOTHING_SIGMA)
-        I2n = gaussian(I2n, PRESMOOTHING_SIGMA)
-    else:
-        raise ValueError(f"unknown presmooth_mode {presmooth_mode!r}")
-
-    sizes = pyramid_sizes(nx, ny, zfactor, nscales)
-    levels = [(I1n, I2n)]
-    for s in range(1, nscales):
-        levels.append(tuple(zoom_out(im, zfactor, out_size=sizes[s])
-                            for im in levels[-1]))
-
     # alpha adapted for channels and truncated to int
     # (src/robust_expo_methods.cpp:527)
     alpha_adapted = float(int(alpha * nz))
 
-    cnx, cny = sizes[-1]
-    u = jnp.zeros((cny, cnx), dtype=I1.dtype)
-    v = jnp.zeros((cny, cnx), dtype=I1.dtype)
-    for s in range(nscales - 1, -1, -1):
-        l1, l2 = levels[s]
-        u, v = _robust_expo_scale_jit(l1, l2, u, v, method_type,
-                                      alpha_adapted, gamma, lam, tol,
-                                      inner_iter, outer_iter, stop, maxiter)
-        if s > 0:
-            u, v = upsample_flow(u, v, sizes[s - 1], zfactor)
-    return u, v
+    def preprocess(images):
+        # per-channel joint [0,255] normalization
+        # (image_normalization_2_color, src/utils.cpp:334-404)
+        I1n, I2n = normalize_joint(*images)
+        if presmooth_mode == "reference":
+            return _presmooth_reference(I1n), _presmooth_reference(I2n)
+        if presmooth_mode == "clean":
+            return (gaussian(I1n, PRESMOOTHING_SIGMA),
+                    gaussian(I2n, PRESMOOTHING_SIGMA))
+        raise ValueError(f"unknown presmooth_mode {presmooth_mode!r}")
+
+    def solve(level_images, state, scale):
+        l1, l2 = level_images
+        u, v = _robust_expo_scale_jit(l1, l2, state["u1"], state["u2"],
+                                      method_type, alpha_adapted, gamma, lam,
+                                      tol, inner_iter, outer_iter, stop,
+                                      maxiter)
+        return {"u1": u, "u2": v}
+
+    state = run_pyramid_state(
+        (I1, I2), nscales, zfactor, solve,
+        presmooth=None, preprocess=preprocess,
+        level_callback=level_callback, resume=resume,
+        trace_name="robust_expo")
+    return state["u1"], state["u2"]

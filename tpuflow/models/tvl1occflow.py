@@ -40,19 +40,16 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from tpuflow.models.common import upsample_flow
+from tpuflow.models.common import run_pyramid_state, upsample_flow
 from tpuflow.models.tvl1occ_rof import rof_box_cell_centered
 from tpuflow.ops import (
     centered_gradient,
     clamp_nscales,
     divergence,
     forward_gradient,
-    gaussian,
     median_filter,
-    pyramid_sizes,
     warp_planes,
     zoom_in,
-    zoom_out,
 )
 
 # src/tvl1occflow_constants.h
@@ -272,7 +269,8 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
                 alpha=DEFAULT_ALPHA, beta=DEFAULT_BETA, theta=DEFAULT_THETA,
                 nscales=DEFAULT_NSCALES, zfactor=DEFAULT_ZFACTOR,
                 warps=DEFAULT_WARPS, epsilon=DEFAULT_EPSILON, stop="error",
-                max_iterations=EXT_MAX_ITERATIONS, clamp_scales=True):
+                max_iterations=EXT_MAX_ITERATIONS, clamp_scales=True,
+                level_callback=None, resume=None):
     """Multiscale joint flow + occlusion estimation
     (Dual_TVL1_optic_flow_multiscale, src/tvl1occflow.cpp:335-481).
 
@@ -280,6 +278,9 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
     at 0.75 into {0, 1}.  `filt_i0` defaults to I0 (the reference CLI
     falls back to the source image when no smoothed version is given,
     src/tvl1occflow_main.cpp:100-110).
+
+    `level_callback(scale, state)` / `resume=(scale, state)` are the
+    shared run_pyramid_state checkpoint hooks; state carries u1/u2/chi.
     """
     if filt_i0 is None:
         filt_i0 = I0
@@ -289,28 +290,31 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
         # (src/tvl1occflow_main.cpp:192-196)
         nscales = clamp_nscales(nx, ny, zfactor, nscales, use_hypot=False)
 
+    def state_init(size, dtype):
+        cnx, cny = size
+        z = jnp.zeros((cny, cnx), dtype=dtype)
+        return {"u1": z, "u2": z, "chi": z}
+
+    def upsample(state, out_size, zfactor_):
+        u1, u2 = upsample_flow(state["u1"], state["u2"], out_size, zfactor_)
+        # chi upsampled WITHOUT magnitude rescale (src/tvl1occflow.cpp:470)
+        return {"u1": u1, "u2": u2, "chi": zoom_in(state["chi"], out_size)}
+
+    def solve(level_images, state, scale):
+        lm1, l0, l1, lf = level_images
+        u1, u2, chi = _tvl1occ_scale_jit(
+            lm1, l0, l1, lf, state["u1"], state["u2"], state["chi"], lam,
+            alpha, beta, theta, warps, epsilon, stop, max_iterations)
+        return {"u1": u1, "u2": u2, "chi": chi}
+
     # NO normalization: the reference overwrites the normalized buffers
     # with the raw images (src/tvl1occflow.cpp:383-397)
-    images = tuple(gaussian(im, PRESMOOTHING_SIGMA)
-                   for im in (Im1, I0, I1, filt_i0))
-    sizes = pyramid_sizes(nx, ny, zfactor, nscales)
-    levels = [images]
-    for s in range(1, nscales):
-        levels.append(tuple(zoom_out(im, zfactor, out_size=sizes[s])
-                            for im in levels[-1]))
-
-    cnx, cny = sizes[-1]
-    u1 = jnp.zeros((cny, cnx), dtype=I0.dtype)
-    u2 = jnp.zeros((cny, cnx), dtype=I0.dtype)
-    chi = jnp.zeros((cny, cnx), dtype=I0.dtype)
-    for s in range(nscales - 1, -1, -1):
-        lm1, l0, l1, lf = levels[s]
-        u1, u2, chi = _tvl1occ_scale_jit(lm1, l0, l1, lf, u1, u2, chi, lam,
-                                         alpha, beta, theta, warps, epsilon,
-                                         stop, max_iterations)
-        if s > 0:
-            u1, u2 = upsample_flow(u1, u2, sizes[s - 1], zfactor)
-            chi = zoom_in(chi, sizes[s - 1])  # no magnitude rescale
-        else:
-            chi = (chi > THR_CHI).astype(I0.dtype)  # (:458-460)
-    return u1, u2, chi
+    state = run_pyramid_state(
+        (Im1, I0, I1, filt_i0), nscales, zfactor, solve,
+        presmooth=PRESMOOTHING_SIGMA, preprocess=None,
+        state_init=state_init, upsample_state=upsample,
+        level_callback=level_callback, resume=resume,
+        trace_name="tvl1occflow")
+    # chi thresholded at 0.75 only at the finest scale (:458-460)
+    chi = (state["chi"] > THR_CHI).astype(I0.dtype)
+    return state["u1"], state["u2"], chi

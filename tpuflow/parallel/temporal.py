@@ -34,11 +34,22 @@ from tpuflow.ops.gradients import _shift_clamp
 from tpuflow.parallel.halo import exchange_1d
 
 
-def _frame_shifts(f, axis_name, axis_size):
+def _frame_shifts(f, axis_name, axis_size, first=None, last=None):
     """(f[t-1], f[t+1]) with edge clamp at the global sequence ends,
-    interior neighbors over the ring."""
+    interior neighbors over the ring.
+
+    `first`/`last` are (tl, 1, 1) masks of the global sequence ends by
+    GLOBAL field index.  They matter when the field axis is padded up to
+    a multiple of the mesh axis (uneven T): the clamp must happen at the
+    last REAL field, not at the ring end, so real fields never read
+    padded neighbors."""
     padded = exchange_1d(f, 1, axis_name, axis_size, fill="edge", axis=0)
-    return padded[:-2], padded[2:]
+    prev, nxt = padded[:-2], padded[2:]
+    if first is not None:
+        prev = jnp.where(first, f, prev)
+    if last is not None:
+        nxt = jnp.where(last, f, nxt)
+    return prev, nxt
 
 
 def brox_temporal_scale_sharded(I, u, v, axis_name, axis_size,
@@ -64,11 +75,13 @@ def brox_temporal_scale_sharded(I, u, v, axis_name, axis_size,
              + lax.broadcasted_iota(jnp.int32, (tl, 1, 1), 0))
     first = g_idx == 0
     last = g_idx == nz_total - 1
+    valid = g_idx < nz_total  # False on fields padded for uneven T
 
     ii = lax.broadcasted_iota(jnp.int32, (tl, ny, nx), 1)
     jj = lax.broadcasted_iota(jnp.int32, (tl, ny, nx), 2)
     gf = t_idx * tl + lax.broadcasted_iota(jnp.int32, (tl, ny, nx), 0)
-    colors = ((gf + ii + jj) % 2 == 0, (gf + ii + jj) % 2 == 1)
+    colors = (((gf + ii + jj) % 2 == 0) & valid,
+              ((gf + ii + jj) % 2 == 1) & valid)
 
     Ix, Iy = centered_gradient(I)
     I0, Ix0, Iy0 = I[:tl], Ix[:tl], Iy[:tl]
@@ -78,7 +91,7 @@ def brox_temporal_scale_sharded(I, u, v, axis_name, axis_size,
     def grad3(f):
         fx = 0.5 * (_shift_clamp(f, 1, -1) - _shift_clamp(f, -1, -1))
         fy = 0.5 * (_shift_clamp(f, 1, -2) - _shift_clamp(f, -1, -2))
-        prev, nxt = _frame_shifts(f, axis_name, axis_size)
+        prev, nxt = _frame_shifts(f, axis_name, axis_size, first, last)
         ft = 0.5 * (nxt - prev)
         return fx, fy, ft
 
@@ -179,8 +192,15 @@ def brox_temporal_scale_sharded(I, u, v, axis_name, axis_size,
 
 def brox_temporal_sharded(I, mesh, axis_name="t", **kw):
     """Single-scale temporal Brox with the frame axis sharded over
-    `mesh[axis_name]`.  I: (T, H, W) with (T-1) divisible by the axis
-    size.  Returns (T-1, H, W) u, v (replicated gather at the end).
+    `mesh[axis_name]`.  I: (T, H, W), any T >= 3.  Returns (T-1, H, W)
+    u, v (replicated gather at the end).
+
+    When (T-1) is not divisible by the axis size, the field axis is
+    padded with copies of the last frame; padded fields are frozen at
+    zero inside the solver (their color masks are AND-ed with the
+    global-index validity mask) and real fields clamp their temporal
+    neighbors by GLOBAL index, so results are identical to the even
+    case — the padding costs compute on the last shard only.
 
     The multiscale wrapper is the same pyramid as
     models.brox_temporal.brox_temporal; this entry point exposes the
@@ -190,10 +210,10 @@ def brox_temporal_sharded(I, mesh, axis_name="t", **kw):
     frames, ny, nx = I.shape
     nz = frames - 1
     axis_size = mesh.shape[axis_name]
-    if nz % axis_size != 0:
-        raise ValueError(f"{nz} flow fields not divisible by mesh axis "
-                         f"{axis_name}={axis_size}")
-    tl = nz // axis_size
+    tl = -(-nz // axis_size)
+    pad_frames = tl * axis_size + 1 - frames
+    if pad_frames:
+        I = jnp.concatenate([I, jnp.repeat(I[-1:], pad_frames, axis=0)])
 
     # local slabs: fields [k*tl, (k+1)*tl), frames [k*tl, (k+1)*tl + 1)
     # = the sharded frame volume plus a one-frame lookahead
@@ -214,4 +234,5 @@ def brox_temporal_sharded(I, mesh, axis_name="t", **kw):
     sharding = NamedSharding(mesh, spec)
     args = [jax.device_put(x, sharding) for x in (slabs, u0, u0)]
     u, v = jax.jit(fn)(*args)
-    return u.reshape(nz, ny, nx), v.reshape(nz, ny, nx)
+    return (u.reshape(tl * axis_size, ny, nx)[:nz],
+            v.reshape(tl * axis_size, ny, nx)[:nz])
