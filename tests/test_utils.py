@@ -91,7 +91,9 @@ def test_checkpoint_resume_batched(solver_goldens, tmp_path):
     ckpt = str(tmp_path / "bat")
     u_f, v_f = tvl1_batched(I0, I1,
                             level_callback=checkpoint_callback(ckpt), **kw)
-    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_jit), atol=1e-5)
+    # hook path runs level-by-level jits vs one whole-pyramid jit; f32
+    # fusion/reassociation differences reach ~2e-5 (5.7e-14 in f64)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_jit), atol=1e-4)
     state = load_level_checkpoint(ckpt, 1)
     u_r, v_r = tvl1_batched(I0, I1, resume=(1, state), **kw)
     np.testing.assert_allclose(np.asarray(u_r), np.asarray(u_f), atol=1e-12)

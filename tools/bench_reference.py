@@ -39,18 +39,42 @@ def main():
         p1 = os.path.join(d, "i1.png")
         iio_lib.imwrite(p0, I0.clip(0, 255).astype("uint8"))
         iio_lib.imwrite(p1, I1.clip(0, 255).astype("uint8"))
+        repeats = int(os.environ.get("REF_BENCH_REPEATS", "3"))
         for name, cmd in (
             ("tvl1flow", [os.path.join(BUILD, "tvl1flow"), p0, p1,
                           os.path.join(d, "f.flo")]),
             ("horn_schunck_pyramidal", [os.path.join(BUILD, "horn_schunck_pyramidal"),
                                         p0, p1, os.path.join(d, "g.flo")]),
         ):
-            t0 = time.perf_counter()
-            subprocess.run(cmd, check=True)
-            dt = time.perf_counter() - t0
-            print(f"{name}: {dt:.2f} s/field = {1.0/dt:.4f} fields/s "
-                  f"(cores={os.cpu_count()})")
+            # N repeats, take the BEST (minimum) time: a shared container
+            # can only slow the binary down, never speed it up, so min is
+            # the fairest estimate of the machine's real capability and is
+            # robust to the load spikes that produced the bogus r2 artifact
+            times = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                subprocess.run(cmd, check=True)
+                times.append(time.perf_counter() - t0)
+            dt = min(times)
+            spread = max(times) / dt
+            print(f"{name}: best {dt:.2f} s/field = {1.0/dt:.4f} fields/s "
+                  f"over {repeats} runs (max/min spread {spread:.2f}x, "
+                  f"cores={os.cpu_count()})")
+            if spread > 2.0:
+                print(f"WARNING: {name} timing spread >2x — container under "
+                      "load; rerun on an idle machine", file=sys.stderr)
             results[name] = round(1.0 / dt, 4)
+    # sanity check vs an existing artifact before overwriting it
+    try:
+        with open(ARTIFACT) as f:
+            prev = json.load(f)["fields_per_sec"]
+        for name, val in results.items():
+            old = prev.get(name)
+            if old and not (0.5 <= val / old <= 2.0):
+                print(f"WARNING: {name} deviates >2x from existing artifact "
+                      f"({old} -> {val} fields/s)", file=sys.stderr)
+    except (OSError, KeyError, ValueError):
+        pass
     artifact = {
         "shape": "1024x436",
         "unit": "fields/s",
