@@ -291,7 +291,8 @@ def hs_scale_batched(I1, I2, u, v, dmax, alpha=7.0, warps=10, tol=1e-4,
     Reference per-warp system constants:
     src/horn_schunck_pyramidal.cpp:128-137."""
     from tpuflow.models.hs_pyramidal import _four_colors, _sor_sweep
-    from tpuflow.ops.hs_pallas import hs_sor_padded
+    from tpuflow.ops.hs_pallas import (from_quarters, hs_sor_quarters,
+                                       pad_hw_q, to_quarters)
 
     alpha2 = alpha * alpha
     ny, nx = I1.shape[-2:]
@@ -311,29 +312,33 @@ def hs_scale_batched(I1, I2, u, v, dmax, alpha=7.0, warps=10, tol=1e-4,
         D = I2wx * I2wy
 
         if big:
-            state_p = pad_hw(jnp.stack([u, v], axis=1))
-            const_p = pad_hw(jnp.stack([Au, Av, Du, Dv, D], axis=1))
+            # quarter (parity-decomposed) layout once per warp; the
+            # chunked SOR loop stays in that layout (ops/hs_pallas.py)
+            state_q = to_quarters(pad_hw_q(jnp.stack([u, v], axis=1)))
+            const_q = to_quarters(pad_hw_q(
+                jnp.stack([Au, Av, Du, Dv, D], axis=1)))
             if stop == "error":
                 def cond(c):
                     return jnp.any(c[1] > thresh) & (c[2] < maxiter)
 
                 def body(c):
                     st, err, n = c
-                    new_st, new_err = hs_sor_padded(st, const_p, ny, nx,
-                                                    HS_SOR_CHUNK, alpha2)
+                    new_st, new_err = hs_sor_quarters(st, const_q, ny, nx,
+                                                      HS_SOR_CHUNK, alpha2)
                     active = err > thresh
                     st = jnp.where(active[:, None, None, None], new_st, st)
                     err = jnp.where(active, new_err, err)
                     return st, err, n + HS_SOR_CHUNK
 
-                init = (state_p, jnp.full((B,), jnp.inf, dtype=I1.dtype),
+                init = (state_q, jnp.full((B,), jnp.inf, dtype=I1.dtype),
                         jnp.asarray(0, jnp.int32))
-                state_p, _, _ = jax.lax.while_loop(cond, body, init)
+                state_q, _, _ = jax.lax.while_loop(cond, body, init)
             else:
                 m = sweep_schedule[min(wi, len(sweep_schedule) - 1)]
-                state_p, _ = hs_sor_padded(state_p, const_p, ny, nx, m,
-                                           alpha2)
-            u, v = state_p[:, 0, :ny, :nx], state_p[:, 1, :ny, :nx]
+                state_q, _ = hs_sor_quarters(state_q, const_q, ny, nx, m,
+                                             alpha2)
+            uv = from_quarters(state_q)
+            u, v = uv[:, 0, :ny, :nx], uv[:, 1, :ny, :nx]
         else:
             colors = _four_colors(I1.shape[-2:])
 

@@ -2,17 +2,27 @@
 
 One 4-color SOR sweep (tpuflow.models.hs_pyramidal) is four masked
 quarter-updates of (u, v) with the reference's 12-point weighted
-Laplacian (src/horn_schunck_pyramidal.cpp:32-71) — ~100 flops/pixel
-over 7 arrays, pure bandwidth under XLA.  Like tvl1_pallas, this kernel
-keeps the WHOLE level (2 state + 5 constant planes) in the v5e's large
-VMEM and runs `n_sweeps` sweeps per HBM round-trip; the sweep loop is a
-`lax.fori_loop` so Mosaic program size is constant in n_sweeps.
+Laplacian (src/horn_schunck_pyramidal.cpp:32-71).  The round-2 kernel
+evaluated the FULL-plane Laplacian for every color phase (8 full-plane
+Laplacians per sweep) and masked out 3/4 of the work.  This version
+stores every plane PARITY-DECOMPOSED: plane f becomes four quarter
+planes f[r::2, c::2], so each color phase computes its Laplacian only
+at the quarter it actually updates — the phase reads the 8 neighbor
+quarters directly (each neighbor of a (r, c)-parity pixel lives at a
+different parity) and needs no color masks at all.  Per sweep that is
+~2 full-plane-equivalents of Laplacian work instead of 8.
 
-Boundary semantics: the image-edge neighbor folds back to the border
-pixel (Neumann), exactly like the full-image op in
-tpuflow.models.hs_pyramidal; the Laplacian is evaluated separably
-(horizontal neighbor sum, then vertical shifts of it), which is
-algebraically identical because per-axis clamping commutes.
+Like tvl1_pallas, the whole level (2 state + 5 constant planes, each as
+4 quarters) lives in the v5e's large VMEM and `n_sweeps` sweeps run per
+HBM round-trip via `lax.fori_loop`.
+
+Boundary semantics: identical to the full-image op — the image-edge
+neighbor folds back to the border pixel (Neumann), and the diagonal
+terms are the vertically clamp-shifted horizontal pair sums, exactly
+the separable evaluation of tpuflow.models.hs_pyramidal (which is
+algebraically the reference's neighbor list because per-axis clamping
+commutes).  The folds live in `jnp.where` masks on the quarter planes
+using the TRUE image size (ny, nx), so zero padding never leaks in.
 
 Outputs the reference's stopping statistic (sum of squared updates over
 the LAST sweep, all four phases; src/horn_schunck_pyramidal.cpp:143,230)
@@ -30,120 +40,203 @@ from tpuflow.ops.tvl1_pallas import VMEM_LIMIT_BYTES, pad_hw
 
 SOR_OMEGA = 1.9  # reference src/horn_schunck_pyramidal.cpp:21
 
-# state plane order
-U, V = 0, 1
-# const plane order
-AU, AV, DU, DV, DD = range(5)
+# quarter-plane order within a field: index = 2*row_parity + col_parity
+# state_q plane order: u(00,01,10,11), v(00,01,10,11)
+# const_q plane order: Au*4, Av*4, Du*4, Dv*4, D*4
 
 
-def _hs_sor_kernel(state_ref, const_ref, out_ref, err_ref, *, n_sweeps,
-                   ny, nx, alpha2):
+def pad_hw_q(a, ny=None, nx=None):
+    """Zero-pad trailing (H, W) to the (16, 256) tiling so the quarter
+    planes are themselves (8, 128)-aligned."""
+    ny = a.shape[-2] if ny is None else ny
+    nx = a.shape[-1] if nx is None else nx
+    hp = -(-ny // 16) * 16
+    wp = -(-nx // 256) * 256
+    pad = [(0, 0)] * (a.ndim - 2) + [(0, hp - a.shape[-2]),
+                                     (0, wp - a.shape[-1])]
+    return jnp.pad(a, pad)
+
+
+def to_quarters(x):
+    """(B, P, Hp, Wp) -> (B, 4P, Hp/2, Wp/2), quarter index = 2r + c."""
+    B, P, Hp, Wp = x.shape
+    x = x.reshape(B, P, Hp // 2, 2, Wp // 2, 2)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(B, 4 * P, Hp // 2, Wp // 2)
+
+
+def from_quarters(x):
+    """Inverse of to_quarters."""
+    B, P4, Hq, Wq = x.shape
+    P = P4 // 4
+    x = x.reshape(B, P, 2, 2, Hq, Wq)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(B, P, 2 * Hq, 2 * Wq)
+
+
+def _hs_sor_q_kernel(state_ref, const_ref, out_ref, err_ref, *, n_sweeps,
+                     ny, nx, alpha2):
     dtype = out_ref.dtype
-    Hp, Wp = state_ref.shape[2], state_ref.shape[3]
+    Hq, Wq = state_ref.shape[2], state_ref.shape[3]
     w = SOR_OMEGA
-    gi = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
-    in_img = (gi < ny) & (gj < nx)
-    zero = jnp.zeros((), dtype)
-    colors = [((gi % 2 == r) & (gj % 2 == c)) for r in (0, 1) for c in (0, 1)]
+    c1 = 1.0 / 12.0
+    c2 = 1.0 / 6.0
+    giq = jax.lax.broadcasted_iota(jnp.int32, (Hq, Wq), 0)
+    gjq = jax.lax.broadcasted_iota(jnp.int32, (Hq, Wq), 1)
 
-    au = const_ref[0, AU]
-    av = const_ref[0, AV]
+    # per-(r, c) boundary fold masks in quarter coordinates
+    first_col = gjq == 0                      # gj == 0 for c == 0
+    first_row = giq == 0                      # gi == 0 for r == 0
+    last_col = [2 * gjq == nx - 1, 2 * gjq + 1 == nx - 1]   # per c
+    last_row = [2 * giq == ny - 1, 2 * giq + 1 == ny - 1]   # per r
+    in_img = [[(2 * giq + r < ny) & (2 * gjq + c < nx) for c in (0, 1)]
+              for r in (0, 1)]
+
+    au = [const_ref[0, k] for k in range(0, 4)]
+    av = [const_ref[0, k] for k in range(4, 8)]
     # real Du, Dv >= alpha^2 > 0; the max() only guards the zero-padded
-    # rim against inf/NaN generation (pad pixels are masked from err and
-    # sliced off by the caller)
-    rdu = 1.0 / jnp.maximum(const_ref[0, DU], 1e-30)
-    rdv = 1.0 / jnp.maximum(const_ref[0, DV], 1e-30)
-    dd = const_ref[0, DD]
+    # rim against inf/NaN (pad pixels are masked from err and sliced off)
+    rdu = [1.0 / jnp.maximum(const_ref[0, 8 + k], 1e-30) for k in range(4)]
+    rdv = [1.0 / jnp.maximum(const_ref[0, 12 + k], 1e-30) for k in range(4)]
+    dd = [const_ref[0, 16 + k] for k in range(4)]
 
-    # Neumann-clamped shifts: at the image border the outside neighbor
-    # folds back to the border pixel (matches _shift_clamp composition in
-    # the full-image op)
-    def sh_l(a):  # neighbor at j-1
-        s = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
-        return jnp.where(gj == 0, a, s)
+    def shl(a):   # quarter value at jq-1 (clamp handled by caller mask)
+        return jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
 
-    def sh_r(a):  # neighbor at j+1
-        s = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
-        return jnp.where(gj >= nx - 1, a, s)
+    def shr(a):   # quarter value at jq+1
+        return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
 
-    def sh_u(a):  # neighbor at i-1
-        s = jnp.concatenate([a[:1], a[:-1]], axis=0)
-        return jnp.where(gi == 0, a, s)
+    def shu(a):   # quarter value at iq-1
+        return jnp.concatenate([a[:1], a[:-1]], axis=0)
 
-    def sh_d(a):  # neighbor at i+1
-        s = jnp.concatenate([a[1:], a[-1:]], axis=0)
-        return jnp.where(gi >= ny - 1, a, s)
+    def shd(a):   # quarter value at iq+1
+        return jnp.concatenate([a[1:], a[-1:]], axis=0)
 
-    def laplacian(f):
-        h = sh_l(f) + sh_r(f)
-        v = sh_u(f) + sh_d(f)
-        diag = sh_u(h) + sh_d(h)  # = ul+ur (row above) + dl+dr (row below)
-        return diag / 12.0 + (h + v) / 6.0
+    def hpair(q, p, r, c):
+        """Horizontal neighbor pair sum (left+right of (2i+p, 2j+c)) as a
+        quarter plane over rows of parity p; folds at the image edge to
+        the row's own center value q[2p + c]."""
+        src = q[2 * p + (1 - c)]
+        ctr = q[2 * p + c]
+        if c == 0:
+            left = jnp.where(first_col, ctr, shl(src))
+            right = jnp.where(last_col[0], ctr, src)
+        else:
+            left = src
+            right = jnp.where(last_col[1], ctr, shr(src))
+        return left + right
+
+    def lap(q, r, c):
+        """12-point weighted Laplacian at color (r, c), quarter plane."""
+        ctr = q[2 * r + c]
+        h = hpair(q, r, r, c)
+        h_o = hpair(q, 1 - r, r, c)
+        srcv = q[2 * (1 - r) + c]
+        if r == 0:
+            up = jnp.where(first_row, ctr, shu(srcv))
+            dn = jnp.where(last_row[0], ctr, srcv)
+            hu = jnp.where(first_row, h, shu(h_o))
+            hd = jnp.where(last_row[0], h, h_o)
+        else:
+            up = srcv
+            dn = jnp.where(last_row[1], ctr, shd(srcv))
+            hu = h_o
+            hd = jnp.where(last_row[1], h, shd(h_o))
+        return (hu + hd) * c1 + (h + up + dn) * c2
 
     def one_sweep(c):
-        u, v, _, _ = c
-        up, vp = u, v
-        for mask in colors:
-            ula = laplacian(u)
-            u_c = (1.0 - w) * u + w * (au - dd * v + alpha2 * ula) * rdu
-            u = jnp.where(mask, u_c, u)
-            vla = laplacian(v)
-            v_c = (1.0 - w) * v + w * (av - dd * u + alpha2 * vla) * rdv
-            v = jnp.where(mask, v_c, v)
-        return u, v, up, vp
+        u = list(c[0])
+        v = list(c[1])
+        up, vp = tuple(u), tuple(v)
+        for r in (0, 1):
+            for cc in (0, 1):
+                k = 2 * r + cc
+                ula = lap(u, r, cc)
+                u[k] = (1.0 - w) * u[k] + w * (au[k] - dd[k] * v[k]
+                                               + alpha2 * ula) * rdu[k]
+                vla = lap(v, r, cc)
+                v[k] = (1.0 - w) * v[k] + w * (av[k] - dd[k] * u[k]
+                                               + alpha2 * vla) * rdv[k]
+        return tuple(u), tuple(v), up, vp
 
-    init = (state_ref[0, U], state_ref[0, V],
-            state_ref[0, U], state_ref[0, V])
+    u0 = tuple(state_ref[0, k] for k in range(4))
+    v0 = tuple(state_ref[0, 4 + k] for k in range(4))
+    init = (u0, v0, u0, v0)
     u, v, up, vp = jax.lax.fori_loop(0, n_sweeps, lambda i, c: one_sweep(c),
                                      init)
-    out_ref[0, U] = u
-    out_ref[0, V] = v
-    du = jnp.where(in_img, u - up, zero)
-    dv = jnp.where(in_img, v - vp, zero)
-    err_ref[0] = jnp.full((8, 128), jnp.sum(du * du + dv * dv), dtype)
+    zero = jnp.zeros((), dtype)
+    err = jnp.zeros((), dtype)
+    for k in range(4):
+        out_ref[0, k] = u[k]
+        out_ref[0, 4 + k] = v[k]
+        m = in_img[k // 2][k % 2]
+        du = jnp.where(m, u[k] - up[k], zero)
+        dv = jnp.where(m, v[k] - vp[k], zero)
+        err = err + jnp.sum(du * du + dv * dv)
+    err_ref[0] = jnp.full((8, 128), err, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps", "ny", "nx",
+                                             "alpha2", "interpret"))
+def hs_sor_quarters(state_q, const_q, ny, nx, n_sweeps, alpha2,
+                    interpret=None):
+    """Fused SOR chunk on PARITY-DECOMPOSED arrays (throughput path).
+
+    state_q: (B, 8, Hq, Wq) = quarters of (u, v); const_q: (B, 20, Hq,
+    Wq) = quarters of (Au, Av, Du, Dv, D); Hq % 8 == 0, Wq % 128 == 0.
+    Build these with `to_quarters(pad_hw_q(...))` once per warp and keep
+    the state in quarter layout across the whole chunk loop.  Returns
+    the quarter-layout state plus the per-sample last-sweep error
+    statistic."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nb, _, Hq, Wq = state_q.shape
+    if Hq % 8 or Wq % 128:
+        raise ValueError(f"quarter dims must be (8,128)-aligned, got {(Hq, Wq)}")
+    kern = functools.partial(_hs_sor_q_kernel, n_sweeps=n_sweeps, ny=ny,
+                             nx=nx, alpha2=float(alpha2))
+    out, err = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 8, Hq, Wq), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 20, Hq, Wq), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, Hq, Wq), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 8, Hq, Wq), state_q.dtype),
+            jax.ShapeDtypeStruct((nb, 8, 128), state_q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(state_q, const_q)
+    return out, err[:, 0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps", "ny", "nx",
                                              "alpha2", "interpret"))
 def hs_sor_padded(state_p, const_p, ny, nx, n_sweeps, alpha2,
                   interpret=None):
-    """Fused SOR chunk on PRE-PADDED arrays (throughput path).
+    """Compat wrapper on (8,128)-padded interleaved arrays.
 
     state_p: (B, 2, Hp, Wp) = (u, v); const_p: (B, 5, Hp, Wp) =
-    (Au, Av, Du, Dv, D), Hp % 8 == 0, Wp % 128 == 0.  Returns the padded
-    state plus the per-sample last-sweep error statistic."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    nb, _, Hp, Wp = state_p.shape
-    if Hp % 8 or Wp % 128:
-        raise ValueError(f"padded dims must be (8,128)-aligned, got {(Hp, Wp)}")
-    kern = functools.partial(_hs_sor_kernel, n_sweeps=n_sweeps, ny=ny,
-                             nx=nx, alpha2=float(alpha2))
-    out, err = pl.pallas_call(
-        kern,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, 2, Hp, Wp), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5, Hp, Wp), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 2, Hp, Wp), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, 2, Hp, Wp), state_p.dtype),
-            jax.ShapeDtypeStruct((nb, 8, 128), state_p.dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT_BYTES),
-        interpret=interpret,
-    )(state_p, const_p)
-    return out, err[:, 0, 0]
+    (Au, Av, Du, Dv, D).  Converts to quarter layout around the fused
+    kernel; prefer `hs_sor_quarters` in chunked loops to convert once."""
+    sq = to_quarters(pad_hw_q(state_p[:, :, :ny, :nx], ny, nx))
+    cq = to_quarters(pad_hw_q(const_p[:, :, :ny, :nx], ny, nx))
+    out_q, err = hs_sor_quarters(sq, cq, ny, nx, n_sweeps, alpha2,
+                                 interpret=interpret)
+    out = from_quarters(out_q)[:, :, :ny, :nx]
+    Hp, Wp = state_p.shape[-2:]
+    return pad_hw(out, Hp, Wp), err
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps", "alpha2", "tile",
@@ -157,6 +250,8 @@ def hs_sor_pallas(state, const, n_sweeps, alpha2, tile=None, interpret=None):
     accepted for backward compatibility and ignored."""
     del tile
     nb, _, ny, nx = state.shape
-    out, err = hs_sor_padded(pad_hw(state), pad_hw(const), ny, nx, n_sweeps,
-                             alpha2, interpret=interpret)
-    return out[:, :, :ny, :nx], err
+    sq = to_quarters(pad_hw_q(state))
+    cq = to_quarters(pad_hw_q(const))
+    out_q, err = hs_sor_quarters(sq, cq, ny, nx, n_sweeps, alpha2,
+                                 interpret=interpret)
+    return from_quarters(out_q)[:, :, :ny, :nx], err
