@@ -51,9 +51,18 @@ def main(argv=None):
     outer = clamp(outer, lambda x: x > 0, DEFAULT_OUTER, "outer_iter", verbose)
 
     I1, I2 = load_pair(image1, image2)
+    if verbose:
+        # parameter header after the nscales auto-clamp
+        # (reference src/brox_spatial_main.cpp:151-164)
+        from tpuflow.ops import clamp_nscales
+        ns = clamp_nscales(I1.shape[-1], I1.shape[-2], zfactor, nscales,
+                           use_hypot=False)
+        print(f"\n alpha:{alpha:g} gamma:{gamma:g} scales:{ns}"
+              f" nu:{zfactor:g} TOL:{tol:g} inner:{inner} outer:{outer}")
     u, v = brox_spatial(jnp.asarray(I1), jnp.asarray(I2), alpha=alpha,
                         gamma=gamma, nscales=nscales, zfactor=zfactor,
-                        tol=tol, inner_iter=inner, outer_iter=outer)
+                        tol=tol, inner_iter=inner, outer_iter=outer,
+                        verbose=verbose)
     save_flow(outfile, u, v)
     return 0
 

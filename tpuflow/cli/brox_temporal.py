@@ -62,9 +62,17 @@ def main(argv=None):
               file=sys.stderr)
         return 1
     vol = jnp.asarray(np.stack(imgs))
+    if verbose:
+        # parameter header after the nscales auto-clamp
+        # (reference src/brox_temporal_main.cpp:181-193)
+        from tpuflow.ops import clamp_nscales
+        ns = clamp_nscales(vol.shape[-1], vol.shape[-2], zfactor, nscales,
+                           use_hypot=False)
+        print(f"\n alpha:{alpha:g} gamma:{gamma:g} scales:{ns}"
+              f" nu:{zfactor:g} TOL:{tol:g} inner:{inner} outer:{outer}")
     u, v = brox_temporal(vol, alpha=alpha, gamma=gamma, nscales=nscales,
                          zfactor=zfactor, tol=tol, inner_iter=inner,
-                         outer_iter=outer)
+                         outer_iter=outer, verbose=verbose)
     u = np.asarray(u)
     v = np.asarray(v)
     for i in range(frames - 1):

@@ -68,6 +68,15 @@ def main(argv=None):
         print("Cannot read the images or the size of the images are not equal",
               file=sys.stderr)
         return 1
+    # the reference prints this header UNCONDITIONALLY (not gated on
+    # verbose; robust_expo_methods_main.cpp after the nscales clamp)
+    from tpuflow.ops import clamp_nscales
+    # images are (H, W) or (H, W, C) at this point
+    ns = clamp_nscales(I1.shape[1], I1.shape[0], zfactor, nscales,
+                       use_hypot=False)
+    print(f"\n ncores:{_nproc} method_type:{method} alpha:{alpha:g}"
+          f" gamma:{gamma:g} lambda:{lam:g} scales:{ns} nu:{zfactor:g}"
+          f" TOL:{tol:g} inner:{inner} outer:{outer}")
     if I1.ndim == 3:  # (H, W, C) -> (C, H, W) planes
         I1 = np.moveaxis(I1, -1, 0)
         I2 = np.moveaxis(I2, -1, 0)
@@ -75,7 +84,7 @@ def main(argv=None):
     u, v = robust_expo(jnp.asarray(I1), jnp.asarray(I2), method_type=method,
                        alpha=alpha, gamma=gamma, lam=lam, nscales=nscales,
                        zfactor=zfactor, tol=tol, inner_iter=inner,
-                       outer_iter=outer)
+                       outer_iter=outer, verbose=verbose)
     save_flow(outfile, u, v)
     return 0
 

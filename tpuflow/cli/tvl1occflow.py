@@ -68,10 +68,22 @@ def main(argv=None):
     if any(im.shape != imgs[0].shape for im in imgs):
         print("ERROR: input image sizes are not equal", file=sys.stderr)
         return 1
+    if verbose:
+        # stderr parameter header after the nscales clamp
+        # (reference src/tvl1occflow_main.cpp:192-204)
+        from tpuflow.ops import clamp_nscales
+        ns = clamp_nscales(imgs[0].shape[-1], imgs[0].shape[-2], zfactor,
+                           nscales, use_hypot=False)
+        sys.stderr.write(
+            f" nproc={_nproc}   \n lambda={lam:f} \n alpha={alpha:f} \n"
+            f" beta={beta:f} \n theta={theta:f} \n nscales={ns} \n"
+            f" zfactor={zfactor:f}\n nwarps={nwarps} \n"
+            f" epsilon={epsilon:g}\n")
     Im1, I0, I1, filt = (jnp.asarray(im) for im in imgs)
     u1, u2, chi = tvl1occflow(Im1, I0, I1, filt, lam=lam, alpha=alpha,
                               beta=beta, theta=theta, nscales=nscales,
-                              zfactor=zfactor, warps=nwarps, epsilon=epsilon)
+                              zfactor=zfactor, warps=nwarps, epsilon=epsilon,
+                              verbose=verbose)
     save_flow(outfile, u1, u2)
     write_image(out_occ, np.asarray(chi) * 255.0)
     return 0

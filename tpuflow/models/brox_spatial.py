@@ -106,7 +106,11 @@ def _sor_solve(du, dv, Au, Av, Du, Dv, D, alpha, psis, colors, tol, size,
                stop, maxiter=MAXITER_SOR):
     """Run SOR sweeps with the reference stopping rule
     `sqrt(err/size) > TOL && nsor < 300`
-    (src/brox_optic_flow_spatial.cpp:315-389)."""
+    (src/brox_optic_flow_spatial.cpp:315-389).  Returns
+    (du, dv, nsor, err) — the sweep count and final error are the
+    scalars the reference prints when verbose (`Iterations: nsor`,
+    :392-394; robust_expo also prints the error,
+    src/robust_expo_methods.cpp:402-404)."""
     dtype = du.dtype
     if stop == "error":
         def cond(c):
@@ -118,23 +122,29 @@ def _sor_solve(du, dv, Au, Av, Du, Dv, D, alpha, psis, colors, tol, size,
             return du, dv, jnp.sqrt(err / size), n + 1
 
         init = (du, dv, jnp.asarray(1000.0, dtype), jnp.asarray(0, jnp.int32))
-        du, dv, _, _ = jax.lax.while_loop(cond, body, init)
+        du, dv, err, nsor = jax.lax.while_loop(cond, body, init)
     else:
         def body(_, c):
-            du, dv = c
-            du, dv, _ = _sor_sweep(du, dv, Au, Av, Du, Dv, D, alpha, psis, colors)
-            return du, dv
+            du, dv, _ = c
+            du, dv, err = _sor_sweep(du, dv, Au, Av, Du, Dv, D, alpha, psis, colors)
+            return du, dv, jnp.sqrt(err / size)
 
-        du, dv = jax.lax.fori_loop(0, maxiter, body, (du, dv))
-    return du, dv
+        du, dv, err = jax.lax.fori_loop(
+            0, maxiter, body, (du, dv, jnp.asarray(1000.0, dtype)))
+        nsor = jnp.asarray(maxiter, jnp.int32)
+    return du, dv, nsor, err
 
 
 def brox_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                tol=DEFAULT_TOL, inner_iter=DEFAULT_INNER,
                outer_iter=DEFAULT_OUTER, stop="error",
-               maxiter=MAXITER_SOR):
+               maxiter=MAXITER_SOR, with_diag=False):
     """Single-scale Brox spatial flow (reference brox_optic_flow,
-    src/brox_optic_flow_spatial.cpp:179-444)."""
+    src/brox_optic_flow_spatial.cpp:179-444).
+
+    `with_diag=True` additionally returns {"iterations": (outer, inner)
+    int32} — the SOR sweep counts the reference prints when verbose
+    (src/brox_optic_flow_spatial.cpp:392-394)."""
     dtype = I1.dtype
     size = I1.size
     eps2 = EPSILON * EPSILON
@@ -144,7 +154,7 @@ def brox_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
     I2x, I2y = centered_gradient(I2)
     planes = jnp.stack([I2, I2x, I2y, dxx(I2), dxy(I2), dyy(I2)])
 
-    def outer_body(_, uv):
+    def outer_body(uv, _):
         u, v = uv
         I2w, I2wx, I2wy, I2wxx, I2wxy, I2wyy = warp_planes(
             planes, u, v, border_out=True)
@@ -160,7 +170,7 @@ def brox_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
         du = jnp.zeros_like(u)
         dv = jnp.zeros_like(v)
 
-        def inner_body(_, dudv):
+        def inner_body(dudv, _):
             du, dv = dudv
             dI = I2w - I1 + I2wx * du + I2wy * dv
             psid = 1.0 / jnp.sqrt(dI * dI + eps2)
@@ -178,31 +188,46 @@ def brox_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
             Dv = psid * I2wy * I2wy + g * (I2wyy * I2wyy + I2wxy * I2wxy) + div_d
             D = psid * I2wy * I2wx + g * (I2wxx + I2wyy) * I2wxy
 
-            return _sor_solve(du, dv, Au, Av, Du, Dv, D, alpha,
-                              (psi1, psi2, psi3, psi4), colors, tol, size,
-                              stop, maxiter)
+            du, dv, nsor, _err = _sor_solve(du, dv, Au, Av, Du, Dv, D, alpha,
+                                            (psi1, psi2, psi3, psi4), colors,
+                                            tol, size, stop, maxiter)
+            return (du, dv), nsor
 
-        du, dv = jax.lax.fori_loop(0, inner_iter, inner_body, (du, dv))
-        return u + du, v + dv
+        (du, dv), nsors = jax.lax.scan(inner_body, (du, dv), None,
+                                       length=inner_iter)
+        return (u + du, v + dv), nsors
 
-    return jax.lax.fori_loop(0, outer_iter, outer_body, (u, v))
+    (u, v), nsors = jax.lax.scan(outer_body, (u, v), None, length=outer_iter)
+    if with_diag:
+        return u, v, {"iterations": nsors}
+    return u, v
 
 
 @partial(jax.jit, static_argnames=("alpha", "gamma", "tol", "inner_iter",
-                                   "outer_iter", "stop", "maxiter"))
+                                   "outer_iter", "stop", "maxiter",
+                                   "with_diag"))
 def _brox_scale_jit(I1, I2, u, v, alpha, gamma, tol, inner_iter, outer_iter,
-                    stop, maxiter):
+                    stop, maxiter, with_diag=False):
     return brox_scale(I1, I2, u, v, alpha, gamma, tol, inner_iter,
-                      outer_iter, stop, maxiter)
+                      outer_iter, stop, maxiter, with_diag=with_diag)
 
 
 def brox_spatial(I1, I2, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                  nscales=DEFAULT_NSCALES, zfactor=DEFAULT_ZFACTOR,
                  tol=DEFAULT_TOL, inner_iter=DEFAULT_INNER,
                  outer_iter=DEFAULT_OUTER, stop="error",
-                 maxiter=MAXITER_SOR, clamp_scales=True):
+                 maxiter=MAXITER_SOR, clamp_scales=True, verbose=False,
+                 with_diag=False):
     """Multiscale Brox spatial flow (reference brox_optic_flow_spatial,
-    src/brox_optic_flow_spatial.cpp:451-549)."""
+    src/brox_optic_flow_spatial.cpp:451-549).
+
+    `verbose` prints the reference binary's stdout lines: `Scale: %d`
+    per level (src/brox_optic_flow_spatial.cpp:517-519) and
+    `Iterations: %d` per outer*inner iteration (:392-394).
+    `with_diag=True` returns (u, v, diags) with diags[s] =
+    {"iterations": (outer, inner) int32} per scale, finest first."""
+    import sys
+
     from tpuflow.ops import clamp_nscales
 
     ny, nx = I1.shape[-2:]
@@ -211,10 +236,27 @@ def brox_spatial(I1, I2, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
         # (src/brox_spatial_main.cpp:151-157)
         nscales = clamp_nscales(nx, ny, zfactor, nscales, use_hypot=False)
 
-    def solve(images, u, v):
+    diag = with_diag or verbose
+    diags = [None] * nscales
+
+    def solve(images, u, v, scale=None):
         lvl1, lvl2 = images
-        return _brox_scale_jit(lvl1, lvl2, u, v, alpha, gamma, tol,
-                               inner_iter, outer_iter, stop, maxiter)
+        out = _brox_scale_jit(lvl1, lvl2, u, v, alpha, gamma, tol,
+                              inner_iter, outer_iter, stop, maxiter,
+                              with_diag=diag)
+        if diag:
+            u, v, d = out
+            diags[scale] = d
+            if verbose:
+                print(f"Scale: {scale}", file=sys.stdout)
+                for o in range(outer_iter):
+                    for i in range(inner_iter):
+                        print(f"Iterations: {int(d['iterations'][o, i])}",
+                              file=sys.stdout)
+            return u, v
+        return out
 
     u, v, _ = run_pyramid((I1, I2), nscales, zfactor, solve)
+    if with_diag:
+        return u, v, diags
     return u, v

@@ -96,12 +96,15 @@ def _div6(f, psi1, psi2, psi3, psi4, psi5, psi6):
 def brox_temporal_scale(I, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                         tol=DEFAULT_TOL, inner_iter=DEFAULT_INNER,
                         outer_iter=DEFAULT_OUTER, stop="error",
-                        maxiter=MAXITER_SOR):
+                        maxiter=MAXITER_SOR, with_diag=False):
     """Single-scale spatio-temporal Brox flow.
 
     I: (T, H, W) frame volume; u, v: (T-1, H, W) flow fields.
     Reference brox_optic_flow, src/brox_optic_flow_temporal.cpp:282-513.
-    """
+
+    `with_diag=True` additionally returns {"iterations": (outer, inner)
+    int32} — the SOR sweep counts the reference prints when verbose
+    (src/brox_optic_flow_temporal.cpp:459-461)."""
     frames, ny, nx = I.shape
     nz = frames - 1
     size1 = nz * ny * nx
@@ -115,7 +118,7 @@ def brox_temporal_scale(I, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
     tail = I[1:]
     planes = jnp.stack([tail, Ix[1:], Iy[1:], dxx(tail), dxy(tail), dyy(tail)])
 
-    def outer_body(_, uv):
+    def outer_body(uv, _):
         u, v = uv
         # warp the 6 derivative planes of frame f+1 by flow f; vmap over
         # the field axis shares tap computation within each field
@@ -141,7 +144,7 @@ def brox_temporal_scale(I, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
         du = jnp.zeros_like(u)
         dv = jnp.zeros_like(v)
 
-        def inner_body(_, dudv):
+        def inner_body(dudv, _):
             du, dv = dudv
             dI = Iw - I0 + Iwx * du + Iwy * dv
             psid = 1.0 / jnp.sqrt(dI * dI + eps2)
@@ -183,7 +186,7 @@ def brox_temporal_scale(I, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
 
                 init = (du, dv, jnp.asarray(1000.0, du.dtype),
                         jnp.asarray(0, jnp.int32))
-                du, dv, _, _ = jax.lax.while_loop(cond, body, init)
+                du, dv, _, nsor = jax.lax.while_loop(cond, body, init)
             else:
                 def body(_, c):
                     du, dv = c
@@ -191,20 +194,26 @@ def brox_temporal_scale(I, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                     return du, dv
 
                 du, dv = jax.lax.fori_loop(0, maxiter, body, (du, dv))
-            return du, dv
+                nsor = jnp.asarray(maxiter, jnp.int32)
+            return (du, dv), nsor
 
-        du, dv = jax.lax.fori_loop(0, inner_iter, inner_body, (du, dv))
-        return u + du, v + dv
+        (du, dv), nsors = jax.lax.scan(inner_body, (du, dv), None,
+                                       length=inner_iter)
+        return (u + du, v + dv), nsors
 
-    return jax.lax.fori_loop(0, outer_iter, outer_body, (u, v))
+    (u, v), nsors = jax.lax.scan(outer_body, (u, v), None, length=outer_iter)
+    if with_diag:
+        return u, v, {"iterations": nsors}
+    return u, v
 
 
 @partial(jax.jit, static_argnames=("alpha", "gamma", "tol", "inner_iter",
-                                   "outer_iter", "stop", "maxiter"))
+                                   "outer_iter", "stop", "maxiter",
+                                   "with_diag"))
 def _brox_temporal_scale_jit(I, u, v, alpha, gamma, tol, inner_iter,
-                             outer_iter, stop, maxiter):
+                             outer_iter, stop, maxiter, with_diag=False):
     return brox_temporal_scale(I, u, v, alpha, gamma, tol, inner_iter,
-                               outer_iter, stop, maxiter)
+                               outer_iter, stop, maxiter, with_diag=with_diag)
 
 
 def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
@@ -212,14 +221,22 @@ def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                   tol=DEFAULT_TOL, inner_iter=DEFAULT_INNER,
                   outer_iter=DEFAULT_OUTER, stop="error",
                   maxiter=MAXITER_SOR, clamp_scales=True,
-                  level_callback=None, resume=None):
+                  level_callback=None, resume=None, verbose=False,
+                  with_diag=False):
     """Multiscale spatio-temporal Brox flow (reference
     brox_optic_flow_temporal, src/brox_optic_flow_temporal.cpp:520-626).
 
     I: (T, H, W) with T >= 3; returns (T-1, H, W) u and v.
 
     `level_callback` / `resume` are the shared run_pyramid_state
-    checkpoint hooks (state keys u1/u2, each (T-1, h, w))."""
+    checkpoint hooks (state keys u1/u2, each (T-1, h, w)).
+
+    `verbose` prints the reference's stdout lines: `Scale: %d` per level
+    (src/brox_optic_flow_temporal.cpp:592-594) and `Iterations: %d` per
+    outer*inner iteration (:459-461).  `with_diag=True` returns
+    (u, v, diags), diags[s] = {"iterations": (outer, inner)}."""
+    import sys
+
     frames, ny, nx = I.shape
     if frames <= 2:
         raise ValueError("The method needs more than two frames "
@@ -246,10 +263,25 @@ def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
         z = jnp.zeros((frames - 1, cny, cnx), dtype=dtype)
         return {"u1": z, "u2": z}
 
+    diag = with_diag or verbose
+    diags = [None] * nscales
+
     def solve(level_images, state, scale):
-        u, v = _brox_temporal_scale_jit(level_images[0], state["u1"],
-                                        state["u2"], alpha, gamma, tol,
-                                        inner_iter, outer_iter, stop, maxiter)
+        out = _brox_temporal_scale_jit(level_images[0], state["u1"],
+                                       state["u2"], alpha, gamma, tol,
+                                       inner_iter, outer_iter, stop, maxiter,
+                                       with_diag=diag)
+        if diag:
+            u, v, d = out
+            diags[scale] = d
+            if verbose:
+                print(f"Scale: {scale}", file=sys.stdout)
+                for o in range(outer_iter):
+                    for i in range(inner_iter):
+                        print(f"Iterations: {int(d['iterations'][o, i])}",
+                              file=sys.stdout)
+        else:
+            u, v = out
         return {"u1": u, "u2": v}
 
     state = run_pyramid_state(
@@ -257,4 +289,6 @@ def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
         presmooth=None, preprocess=preprocess, state_init=state_init,
         level_callback=level_callback, resume=resume,
         trace_name="brox_temporal")
+    if with_diag:
+        return state["u1"], state["u2"], diags
     return state["u1"], state["u2"]

@@ -129,11 +129,15 @@ def robust_expo_scale(I1, I2, u, v, method_type=DEFAULT_METHOD,
                       alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                       lam=DEFAULT_LAMBDA, tol=DEFAULT_TOL,
                       inner_iter=DEFAULT_INNER, outer_iter=DEFAULT_OUTER,
-                      stop="error", maxiter=MAXITER_SOR):
+                      stop="error", maxiter=MAXITER_SOR, with_diag=False):
     """Single-scale robust-expo flow on (C, H, W) image planes
     (reference robust_expo_methods single-scale overload,
     src/robust_expo_methods.cpp:161-455).  `alpha` must already be
-    channel-adapted (int(alpha * nz)) as the multiscale driver does."""
+    channel-adapted (int(alpha * nz)) as the multiscale driver does.
+
+    `with_diag=True` additionally returns {"iterations": (outer, inner)
+    int32, "error": (outer, inner)} — the SOR scalars the reference
+    prints when verbose (src/robust_expo_methods.cpp:402-404)."""
     nz, ny, nx = I1.shape
     size = nx * ny * nz  # SOR error norm, src/robust_expo_methods.cpp:400
     eps2 = EPSILON * EPSILON
@@ -145,7 +149,7 @@ def robust_expo_scale(I1, I2, u, v, method_type=DEFAULT_METHOD,
     planes = jnp.stack([I2, I2x, I2y, dxx(I2), dxy(I2), dyy(I2)])
     expo = exponential_diffusivity(I1x, I1y, method_type, alpha, lam)
 
-    def outer_body(_, uv):
+    def outer_body(uv, _):
         u, v = uv
         warped = warp_planes(planes.reshape(6 * nz, ny, nx), u, v,
                              border_out=True).reshape(6, nz, ny, nx)
@@ -165,7 +169,7 @@ def robust_expo_scale(I1, I2, u, v, method_type=DEFAULT_METHOD,
         du = jnp.zeros_like(u)
         dv = jnp.zeros_like(v)
 
-        def inner_body(_, dudv):
+        def inner_body(dudv, _):
             du, dv = dudv
             # channel-summed robustness weights
             # (psi_data/psi_gradient, src/robust_expo_methods.cpp:36-105)
@@ -195,23 +199,31 @@ def robust_expo_scale(I1, I2, u, v, method_type=DEFAULT_METHOD,
             D = (psid * jnp.sum(I2wy * I2wx, axis=0)
                  + g * jnp.sum((I2wxx + I2wyy) * I2wxy, axis=0))
 
-            return _sor_solve(du, dv, Au, Av, Du, Dv, D, alpha,
-                              (psi1, psi2, psi3, psi4), colors, tol, size,
-                              stop, maxiter)
+            du, dv, nsor, err = _sor_solve(du, dv, Au, Av, Du, Dv, D, alpha,
+                                           (psi1, psi2, psi3, psi4), colors,
+                                           tol, size, stop, maxiter)
+            return (du, dv), (nsor, err)
 
-        du, dv = jax.lax.fori_loop(0, inner_iter, inner_body, (du, dv))
-        return u + du, v + dv
+        (du, dv), diag = jax.lax.scan(inner_body, (du, dv), None,
+                                      length=inner_iter)
+        return (u + du, v + dv), diag
 
-    return jax.lax.fori_loop(0, outer_iter, outer_body, (u, v))
+    (u, v), (nsors, errs) = jax.lax.scan(outer_body, (u, v), None,
+                                         length=outer_iter)
+    if with_diag:
+        return u, v, {"iterations": nsors, "error": errs}
+    return u, v
 
 
 @partial(jax.jit, static_argnames=("method_type", "alpha", "gamma", "lam",
                                    "tol", "inner_iter", "outer_iter", "stop",
-                                   "maxiter"))
+                                   "maxiter", "with_diag"))
 def _robust_expo_scale_jit(I1, I2, u, v, method_type, alpha, gamma, lam, tol,
-                           inner_iter, outer_iter, stop, maxiter):
+                           inner_iter, outer_iter, stop, maxiter,
+                           with_diag=False):
     return robust_expo_scale(I1, I2, u, v, method_type, alpha, gamma, lam,
-                             tol, inner_iter, outer_iter, stop, maxiter)
+                             tol, inner_iter, outer_iter, stop, maxiter,
+                             with_diag=with_diag)
 
 
 def _presmooth_reference(im):
@@ -237,7 +249,7 @@ def robust_expo(I1, I2, method_type=DEFAULT_METHOD, alpha=DEFAULT_ALPHA,
                 outer_iter=DEFAULT_OUTER, stop="error",
                 maxiter=MAXITER_SOR, clamp_scales=True,
                 presmooth_mode="reference", level_callback=None,
-                resume=None):
+                resume=None, verbose=False, with_diag=False):
     """Multiscale robust-expo flow (reference robust_expo_methods
     multiscale overload, src/robust_expo_methods.cpp:462-566).
 
@@ -245,7 +257,15 @@ def robust_expo(I1, I2, method_type=DEFAULT_METHOD, alpha=DEFAULT_ALPHA,
 
     `level_callback` / `resume` are the shared run_pyramid_state
     checkpoint hooks (state keys u1/u2).
-    """
+
+    `verbose` prints the reference's stdout lines: `Scale: %d` per
+    level (src/robust_expo_methods.cpp:534-536) and
+    `Iterations: %d Error: %g` per outer*inner iteration (:402-404,
+    cout default float formatting).  `with_diag=True` returns
+    (u, v, diags), diags[s] = {"iterations": (outer, inner),
+    "error": (outer, inner)}, finest first."""
+    import sys
+
     if I1.ndim == 2:
         I1 = I1[None]
         I2 = I2[None]
@@ -269,12 +289,27 @@ def robust_expo(I1, I2, method_type=DEFAULT_METHOD, alpha=DEFAULT_ALPHA,
                     gaussian(I2n, PRESMOOTHING_SIGMA))
         raise ValueError(f"unknown presmooth_mode {presmooth_mode!r}")
 
+    diag = with_diag or verbose
+    diags = [None] * nscales
+
     def solve(level_images, state, scale):
         l1, l2 = level_images
-        u, v = _robust_expo_scale_jit(l1, l2, state["u1"], state["u2"],
-                                      method_type, alpha_adapted, gamma, lam,
-                                      tol, inner_iter, outer_iter, stop,
-                                      maxiter)
+        out = _robust_expo_scale_jit(l1, l2, state["u1"], state["u2"],
+                                     method_type, alpha_adapted, gamma, lam,
+                                     tol, inner_iter, outer_iter, stop,
+                                     maxiter, with_diag=diag)
+        if diag:
+            u, v, d = out
+            diags[scale] = d
+            if verbose:
+                print(f"Scale: {scale}", file=sys.stdout)
+                for o in range(outer_iter):
+                    for i in range(inner_iter):
+                        print(f"Iterations: {int(d['iterations'][o, i])} "
+                              f"Error: {float(d['error'][o, i]):g}",
+                              file=sys.stdout)
+        else:
+            u, v = out
         return {"u1": u, "u2": v}
 
     state = run_pyramid_state(
@@ -282,4 +317,6 @@ def robust_expo(I1, I2, method_type=DEFAULT_METHOD, alpha=DEFAULT_ALPHA,
         presmooth=None, preprocess=preprocess,
         level_callback=level_callback, resume=resume,
         trace_name="robust_expo")
+    if with_diag:
+        return state["u1"], state["u2"], diags
     return state["u1"], state["u2"]

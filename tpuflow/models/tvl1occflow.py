@@ -187,9 +187,13 @@ def solver_wrt_chi(u1, u2, chi, I1wx, I1wy, Im1wx, Im1wy, rho1_c, rho3_c,
 def tvl1occ_scale(Im1, I0, I1, filt_i0, u1, u2, chi, lam=DEFAULT_LAMBDA,
                   alpha=DEFAULT_ALPHA, beta=DEFAULT_BETA, theta=DEFAULT_THETA,
                   warps=DEFAULT_WARPS, epsilon=DEFAULT_EPSILON, stop="error",
-                  max_iterations=EXT_MAX_ITERATIONS):
+                  max_iterations=EXT_MAX_ITERATIONS, with_diag=False):
     """Single-scale joint flow + occlusion solver (Dual_TVL1_optic_flow,
-    src/tvl1occflow.cpp:143-328)."""
+    src/tvl1occflow.cpp:143-328).
+
+    `with_diag=True` additionally returns {"iterations": (warps,) int32,
+    "error": (warps,)} — the per-warp stopping scalars the reference
+    prints to stderr when verbose (src/tvl1occflow.cpp:292-296)."""
     dtype = I0.dtype
     size = I0.size
     g = edge_indicator(filt_i0)
@@ -204,7 +208,7 @@ def tvl1occ_scale(Im1, I0, I1, filt_i0, u1, u2, chi, lam=DEFAULT_LAMBDA,
     state0 = dict(u1=u1, u2=u2, chi=chi, p11=zero, p12=zero, p21=zero,
                   p22=zero, eta1=zero, eta2=zero, u1prev=u1, u2prev=u2)
 
-    def warp_body(_, st):
+    def warp_body(st, _):
         I1w, I1wx, I1wy = warp_planes(fwd_planes, st["u1"], st["u2"],
                                       border_out=False)
         Im1w, Im1wx, Im1wy = warp_planes(bck_planes, -st["u1"], -st["u2"],
@@ -242,27 +246,34 @@ def tvl1occ_scale(Im1, I0, I1, filt_i0, u1, u2, chi, lam=DEFAULT_LAMBDA,
                 st, err = iteration(st)
                 return st, err, n + 1
 
-            st, _, _ = jax.lax.while_loop(
+            st, err, n = jax.lax.while_loop(
                 cond, body, (st, jnp.asarray(jnp.inf, dtype),
                              jnp.asarray(0, jnp.int32)))
         else:
-            def body(_, st):
-                st, _ = iteration(st)
-                return st
+            def body(_, c):
+                return iteration(c[0])
 
-            st = jax.lax.fori_loop(0, max_iterations, body, st)
-        return st
+            st, err = jax.lax.fori_loop(
+                0, max_iterations, body, (st, jnp.asarray(jnp.inf, dtype)))
+            n = jnp.asarray(max_iterations, jnp.int32)
+        return st, (n, err)
 
-    st = jax.lax.fori_loop(0, warps, warp_body, state0)
+    st, (ns, errs) = jax.lax.scan(warp_body, state0, None, length=warps)
+    if with_diag:
+        return st["u1"], st["u2"], st["chi"], {"iterations": ns,
+                                               "error": errs}
     return st["u1"], st["u2"], st["chi"]
 
 
 @partial(jax.jit, static_argnames=("lam", "alpha", "beta", "theta", "warps",
-                                   "epsilon", "stop", "max_iterations"))
+                                   "epsilon", "stop", "max_iterations",
+                                   "with_diag"))
 def _tvl1occ_scale_jit(Im1, I0, I1, filt_i0, u1, u2, chi, lam, alpha, beta,
-                       theta, warps, epsilon, stop, max_iterations):
+                       theta, warps, epsilon, stop, max_iterations,
+                       with_diag=False):
     return tvl1occ_scale(Im1, I0, I1, filt_i0, u1, u2, chi, lam, alpha,
-                         beta, theta, warps, epsilon, stop, max_iterations)
+                         beta, theta, warps, epsilon, stop, max_iterations,
+                         with_diag=with_diag)
 
 
 def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
@@ -270,7 +281,8 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
                 nscales=DEFAULT_NSCALES, zfactor=DEFAULT_ZFACTOR,
                 warps=DEFAULT_WARPS, epsilon=DEFAULT_EPSILON, stop="error",
                 max_iterations=EXT_MAX_ITERATIONS, clamp_scales=True,
-                level_callback=None, resume=None):
+                level_callback=None, resume=None, verbose=False,
+                with_diag=False):
     """Multiscale joint flow + occlusion estimation
     (Dual_TVL1_optic_flow_multiscale, src/tvl1occflow.cpp:335-481).
 
@@ -281,7 +293,14 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
 
     `level_callback(scale, state)` / `resume=(scale, state)` are the
     shared run_pyramid_state checkpoint hooks; state carries u1/u2/chi.
-    """
+
+    `verbose` replicates the reference's output: `verbose` on stdout
+    once per scale (src/tvl1occflow.cpp:192-194) and per-warp
+    `Warping: %d, Iterations: %d, Error: %e` on STDERR (:292-296).
+    `with_diag=True` returns (u1, u2, chi, diags), diags[s] =
+    {"iterations": (warps,), "error": (warps,)}, finest first."""
+    import sys
+
     if filt_i0 is None:
         filt_i0 = I0
     ny, nx = I0.shape[-2:]
@@ -300,11 +319,30 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
         # chi upsampled WITHOUT magnitude rescale (src/tvl1occflow.cpp:470)
         return {"u1": u1, "u2": u2, "chi": zoom_in(state["chi"], out_size)}
 
+    diag = with_diag or verbose
+    diags = [None] * nscales
+
     def solve(level_images, state, scale):
         lm1, l0, l1, lf = level_images
-        u1, u2, chi = _tvl1occ_scale_jit(
+        out = _tvl1occ_scale_jit(
             lm1, l0, l1, lf, state["u1"], state["u2"], state["chi"], lam,
-            alpha, beta, theta, warps, epsilon, stop, max_iterations)
+            alpha, beta, theta, warps, epsilon, stop, max_iterations,
+            with_diag=diag)
+        if diag:
+            u1, u2, chi, d = out
+            diags[scale] = d
+            if verbose:
+                # the reference prints "verbose" at solver entry per
+                # scale (src/tvl1occflow.cpp:192-194, stdout) and the
+                # warp stats to stderr (:292-296)
+                print("verbose", file=sys.stdout)
+                for w in range(warps):
+                    print(f"Warping: {w}, "
+                          f"Iterations: {int(d['iterations'][w])}, "
+                          f"Error: {float(d['error'][w]):e}",
+                          file=sys.stderr)
+        else:
+            u1, u2, chi = out
         return {"u1": u1, "u2": u2, "chi": chi}
 
     # NO normalization: the reference overwrites the normalized buffers
@@ -317,4 +355,6 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
         trace_name="tvl1occflow")
     # chi thresholded at 0.75 only at the finest scale (:458-460)
     chi = (state["chi"] > THR_CHI).astype(I0.dtype)
+    if with_diag:
+        return state["u1"], state["u2"], chi, diags
     return state["u1"], state["u2"], chi
