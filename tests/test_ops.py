@@ -136,3 +136,72 @@ def test_f32_path_close_to_f64():
     )
     assert lo.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(lo), np.asarray(hi), atol=2e-3)
+
+
+def test_interpolate_bilinear_matches_reference_loop():
+    """Direct loop transcription of me_interpolate_bilinear
+    (src/bicubic_interpolation.cpp:407-446) as oracle."""
+    import jax.numpy as jnp
+
+    from tpuflow.ops import interpolate_bilinear
+
+    rng = np.random.default_rng(4)
+    img = rng.standard_normal((9, 13))
+    xs = rng.uniform(0, 11.9, 40)
+    ys = rng.uniform(0, 7.9, 40)
+    xs[:5] = np.round(xs[:5])  # exercise the exact-integer branches
+    ys[2:7] = np.round(ys[2:7])
+
+    def oracle(x, y):
+        l, k = int(np.floor(x)), int(np.floor(y))
+        a, b = x - l, y - k
+        x0 = img[k, l]
+        x1 = img[k, min(l + 1, 12)]
+        x2 = img[min(k + 1, 8), l]
+        x3 = img[min(k + 1, 8), min(l + 1, 12)]
+        if a == 0 and b == 0:
+            return x0
+        if a == 0:
+            return (1 - b) * x0 + b * x2
+        if b == 0:
+            return (1 - a) * x0 + a * x1
+        return (1 - b) * ((1 - a) * x0 + a * x1) + b * ((1 - a) * x2 + a * x3)
+
+    got = np.asarray(interpolate_bilinear(jnp.asarray(img),
+                                          jnp.asarray(xs), jnp.asarray(ys)))
+    want = np.array([oracle(x, y) for x, y in zip(xs, ys)])
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_image_restriction_matches_reference_loop():
+    """me_image_restriction (src/bicubic_interpolation.cpp:653-688)."""
+    import jax.numpy as jnp
+
+    from tpuflow.ops import image_restriction, interpolate_bilinear
+
+    rng = np.random.default_rng(5)
+    img = rng.standard_normal((12, 20))
+    new_nx, new_ny = 9, 5
+    got = np.asarray(image_restriction(jnp.asarray(img), (new_nx, new_ny)))
+    gx, gy = 20 / new_nx, 12 / new_ny
+    want = np.zeros((new_ny, new_nx))
+    for i in range(new_ny):
+        for j in range(new_nx):
+            want[i, j] = float(interpolate_bilinear(
+                jnp.asarray(img), jnp.asarray(gx / 2 - 0.5 + j * gx),
+                jnp.asarray(gy / 2 - 0.5 + i * gy)))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_pfm_roundtrip():
+    import tempfile
+
+    from tpuflow.io.image import read_pfm, write_pfm
+
+    rng = np.random.default_rng(6)
+    for shape in [(7, 11), (7, 11, 3)]:
+        arr = rng.standard_normal(shape).astype(np.float32)
+        with tempfile.NamedTemporaryFile(suffix=".pfm") as f:
+            write_pfm(f.name, arr)
+            back = read_pfm(f.name)
+            np.testing.assert_allclose(back, arr, atol=0)

@@ -67,3 +67,22 @@ def test_sharded_error_stop():
     epe = float(np.mean(np.hypot(np.asarray(u_sh) - np.asarray(u_ref),
                                  np.asarray(v_sh) - np.asarray(v_ref))))
     assert epe < 1e-8, epe
+
+
+def test_multiscale_sharded_matches_single_device():
+    """Pyramid wrapper over the sharded per-scale solver vs the full
+    single-device multiscale (reference pyramid:
+    src/brox_optic_flow_temporal.cpp:566-601)."""
+    from tpuflow.models.brox_temporal import brox_temporal
+    from tpuflow.parallel.temporal import brox_temporal_multiscale_sharded
+
+    vol = _volume(frames=5, ny=40, nx=48)
+    mesh = make_mesh({"t": 4, "rest": -1})
+    kw = dict(nscales=2, outer_iter=2, inner_iter=1, stop="fixed",
+              maxiter=8)
+    u_ref, v_ref = brox_temporal(vol, **kw)
+    u_sh, v_sh = brox_temporal_multiscale_sharded(vol, mesh, **kw)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref),
+                               atol=1e-9)

@@ -38,6 +38,44 @@ ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "scaling_measured.json")
 
 
+def measure_sharding_overhead(step, make_batch, total_batch):
+    """Pure DP-sharding overhead on the virtual mesh: the same total
+    batch timed unsharded (1 device) vs sharded over all 8 virtual
+    devices.  Total COMPUTE is identical and runs on the same physical
+    cores either way, so the ratio isolates the partitioning/dispatch/
+    collective cost of the DP path — the quantity that determines real
+    multi-chip efficiency.  (Weak-scaling walltime on a virtual mesh is
+    bounded by the container's physical cores instead, so it measures
+    oversubscription, not the DP code path.)"""
+    import time
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from tpuflow.parallel.distributed import _sync, dp_shard
+
+    I0, I1 = make_batch(total_batch)
+    devices = jax.devices()
+
+    mesh1 = Mesh(np.asarray(devices[:1]), ("batch",))
+    I0a, I1a = dp_shard((jnp.asarray(I0), jnp.asarray(I1)), mesh1)
+    meshN = Mesh(np.asarray(devices), ("batch",))
+    I0b, I1b = dp_shard((jnp.asarray(I0), jnp.asarray(I1)), meshN)
+
+    def timeit(a, b, n=3):
+        _sync(step(a, b))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _sync(step(a, b))
+        return (time.perf_counter() - t0) / n
+
+    t1 = timeit(I0a, I1a)
+    tN = timeit(I0b, I1b)
+    return {"unsharded_s": round(t1, 4), "sharded_s": round(tN, 4),
+            "overhead": round(tN / t1 - 1.0, 4),
+            "devices": len(devices)}
+
+
 def main():
     initialize()  # no-op single-process; pod-slice entry point
     on_tpu = jax.default_backend() == "tpu"
@@ -56,13 +94,25 @@ def main():
         return tvl1_batched(I0, I1, stop="fixed", nscales=3)
 
     results = dp_efficiency(step, make_batch, per_dev)
+    physical_cores = os.cpu_count()
     artifact = {
         "backend": jax.default_backend(),
         "devices": len(jax.devices()),
+        "physical_cores": physical_cores,
         "shape": f"{nx}x{ny}",
         "per_device_batch": per_dev,
         "weak_scaling": results,
     }
+    if not on_tpu:
+        artifact["note"] = (
+            "virtual 8-device CPU mesh on a "
+            f"{physical_cores}-core container: weak-scaling walltime is "
+            "compute-bound by the physical cores, so `weak_scaling` "
+            "beyond that count measures oversubscription, not the DP "
+            "path; `sharding_overhead` isolates the DP partitioning/"
+            "dispatch cost at constant total compute")
+        artifact["sharding_overhead"] = measure_sharding_overhead(
+            step, make_batch, 16)
     with open(ARTIFACT, "w") as f:
         json.dump(artifact, f, indent=1)
         f.write("\n")
@@ -73,6 +123,10 @@ def main():
     print("|---|---|---|")
     for n, r in results.items():
         print(f"| {n} | {r['fields_per_sec']} | {r['efficiency']:.1%} |")
+    if not on_tpu:
+        so = artifact["sharding_overhead"]
+        print(f"sharding overhead at constant compute "
+              f"({so['devices']} virtual devices): {so['overhead']:.1%}")
 
 
 if __name__ == "__main__":

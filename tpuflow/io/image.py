@@ -1,7 +1,7 @@
 """Host-side image IO.
 
 Replaces the reference's 4k-line C `iio` reader (reference src/iio.cpp)
-with thin wrappers over imageio/PIL plus a PGM/PPM codec.  IO is cold
+with thin wrappers over imageio/PIL plus PGM/PPM and PFM codecs.  IO is cold
 path: the reference CLIs read images once per run (src/tvl1flow_main.cpp
 :177-178), so no native code is warranted here.
 
@@ -17,7 +17,10 @@ def read_image(path, gray=True, dtype=np.float64):
     """Read an image file -> (H, W) if gray else (H, W, C) float array."""
     import imageio.v3 as iio
 
-    arr = np.asarray(iio.imread(path)).astype(dtype)
+    if str(path).lower().endswith(".pfm"):
+        arr = read_pfm(path, dtype=dtype)
+    else:
+        arr = np.asarray(iio.imread(path)).astype(dtype)
     if gray and arr.ndim == 3:
         # iio collapses to gray by averaging channels when a caller asks
         # for 1 channel (reference src/iio.cpp sample conversion)
@@ -71,3 +74,44 @@ def read_pgm(path, dtype=np.float64):
         raise ValueError("16-bit PGM not supported")
     arr = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=pos)
     return arr.reshape(h, w).astype(dtype)
+
+
+def read_pfm(path, dtype=np.float64):
+    """Read a PFM (portable float map) -> (H, W) or (H, W, 3) array.
+
+    Layout per the reference's iio PFM path (src/iio.cpp pfm reader):
+    'PF' (color) / 'Pf' (gray) header, width height, scale whose sign
+    encodes endianness (negative = little-endian), then float32 rows
+    stored BOTTOM-UP."""
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        if magic not in (b"PF", b"Pf"):
+            raise ValueError(f"{path}: not a PFM file")
+        dims = f.readline().split()
+        while dims and dims[0].startswith(b"#"):
+            dims = f.readline().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().strip())
+        endian = "<" if scale < 0 else ">"
+        channels = 3 if magic == b"PF" else 1
+        data = np.frombuffer(f.read(4 * w * h * channels),
+                             dtype=endian + "f4")
+    shape = (h, w, 3) if channels == 3 else (h, w)
+    return data.reshape(shape)[::-1].astype(dtype)
+
+
+def write_pfm(path, arr, scale=-1.0):
+    """Write a (H, W) or (H, W, 3) float array as little-endian PFM."""
+    arr = np.asarray(arr, dtype=np.float32)
+    if arr.ndim == 2:
+        magic = b"Pf"
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"PF"
+    else:
+        raise ValueError(f"PFM needs (H, W) or (H, W, 3), got {arr.shape}")
+    h, w = arr.shape[:2]
+    with open(path, "wb") as f:
+        f.write(magic + b"\n")
+        f.write(f"{w} {h}\n".encode())
+        f.write(f"{scale:g}\n".encode())
+        f.write(arr[::-1].astype("<f4").tobytes())

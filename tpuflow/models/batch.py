@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from tpuflow.models.tvl1 import _inner_step
 from tpuflow.ops import centered_gradient, clamp_nscales
 from tpuflow.ops.interp import warp_planes_shift
-from tpuflow.ops.tvl1_pallas import fits_vmem, pad_hw, tvl1_iterate_padded
+from tpuflow.ops.tvl1_pallas import (fits_vmem, pad_hw,
+                                     tvl1_iterate_error_padded,
+                                     tvl1_iterate_padded)
 from tpuflow.ops.warp_pallas import warp_planes_pallas_batched
 
 # per-warp inner-iteration schedule: upper envelope of the reference's
@@ -141,6 +143,10 @@ def tvl1_scale_error(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
     B = I0.shape[0]
 
     if big:
+        # whole warp inside ONE kernel call: the reference's
+        # per-iteration stopping runs inside the Pallas kernel, so each
+        # sample stops at exactly its own iteration (no chunk
+        # granularity) and each warp costs one HBM round-trip
         state_p = pad_hw(state)
         for _ in range(warps):
             u1 = state_p[:, 0, :ny, :nx]
@@ -149,22 +155,9 @@ def tvl1_scale_error(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
             grad = I1wx * I1wx + I1wy * I1wy
             rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
             const_p = pad_hw(jnp.stack([I1wx, I1wy, rho_c, grad], axis=1))
-
-            def cond(c):
-                return jnp.any(c[1] > thresh) & (c[2] < max_iterations)
-
-            def body(c):
-                st, err, n = c
-                new_st, new_err = tvl1_iterate_padded(
-                    st, const_p, ny, nx, ERROR_CHUNK, l_t, theta, taut)
-                active = err > thresh
-                st = jnp.where(active[:, None, None, None], new_st, st)
-                err = jnp.where(active, new_err, err)
-                return st, err, n + ERROR_CHUNK
-
-            init = (state_p, jnp.full((B,), jnp.inf, dtype=I0.dtype),
-                    jnp.asarray(0, jnp.int32))
-            state_p, _, _ = jax.lax.while_loop(cond, body, init)
+            state_p, _, _ = tvl1_iterate_error_padded(
+                state_p, const_p, ny, nx, thresh, max_iterations, l_t,
+                theta, taut)
         return state_p[:, 0, :ny, :nx], state_p[:, 1, :ny, :nx]
 
     for _ in range(warps):
@@ -281,21 +274,40 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
 HS_SOR_CHUNK = 6  # sweeps per fused kernel call in error mode
 
 
+def hs_sweep_schedule(ny, nx):
+    """Per-warp sweep schedule for stop="fixed", calibrated as a ~1.3x
+    envelope of the reference binary's observed per-warp stopping
+    sweeps at default parameters (tol=1e-4, alpha=7, 10 warps) over
+    bench-geometry pairs — raw data in tools/hs_calibration.json.
+    Convergence counts track the LEVEL SIZE (the stopping threshold is
+    tol^2 * size, so small levels need more sweeps); fine levels
+    collapse after the first warp."""
+    px = ny * nx
+    if px <= 64 * 128:       # coarse levels (<= 55x128): nearly free
+        return (104, 104, 96, 88, 80, 80, 80, 76, 76, 76)
+    if px <= 109 * 256:
+        return (96, 78, 60, 46, 35, 25, 16, 10, 7, 6)
+    if px <= 218 * 512:
+        return (80, 40, 11, 5, 3, 2, 3, 2, 2, 6)
+    return (73, 12, 6, 4, 4, 3, 3, 4, 4, 4)
+
+
 def hs_scale_batched(I1, I2, u, v, dmax, alpha=7.0, warps=10, tol=1e-4,
-                     maxiter=150, stop="error", sweep_schedule=(24, 12, 8,
-                                                                6, 6, 4, 4,
-                                                                4, 4, 4)):
+                     maxiter=150, stop="error", sweep_schedule=None):
     """Batched single-scale warping Horn-Schunck with the fused 4-color
     SOR kernel (tpuflow.ops.hs_pallas) on big levels.
 
     Reference per-warp system constants:
     src/horn_schunck_pyramidal.cpp:128-137."""
     from tpuflow.models.hs_pyramidal import _four_colors, _sor_sweep
-    from tpuflow.ops.hs_pallas import (from_quarters, hs_sor_quarters,
-                                       pad_hw_q, to_quarters)
+    from tpuflow.ops.hs_pallas import (from_quarters, hs_sor_error_quarters,
+                                       hs_sor_quarters, pad_hw_q,
+                                       to_quarters)
 
     alpha2 = alpha * alpha
     ny, nx = I1.shape[-2:]
+    if sweep_schedule is None:
+        sweep_schedule = hs_sweep_schedule(ny, nx)
     size = ny * nx
     thresh = (tol * tol) * size  # sqrt(err/size) > tol  <=>  err > tol^2*size
     big = _use_fused(I1.shape)
@@ -318,28 +330,16 @@ def hs_scale_batched(I1, I2, u, v, dmax, alpha=7.0, warps=10, tol=1e-4,
             const_q = to_quarters(pad_hw_q(
                 jnp.stack([Au, Av, Du, Dv, D], axis=1)))
             if stop == "error":
-                def cond(c):
-                    return jnp.any(c[1] > thresh) & (c[2] < maxiter)
-
-                def body(c):
-                    st, err, n = c
-                    new_st, new_err = hs_sor_quarters(st, const_q, ny, nx,
-                                                      HS_SOR_CHUNK, alpha2)
-                    active = err > thresh
-                    st = jnp.where(active[:, None, None, None], new_st, st)
-                    err = jnp.where(active, new_err, err)
-                    return st, err, n + HS_SOR_CHUNK
-
-                init = (state_q, jnp.full((B,), jnp.inf, dtype=I1.dtype),
-                        jnp.asarray(0, jnp.int32))
-                state_q, _, _ = jax.lax.while_loop(cond, body, init)
+                # reference stopping per sweep, inside the kernel
+                state_q, _, _ = hs_sor_error_quarters(
+                    state_q, const_q, ny, nx, thresh, maxiter, alpha2)
             else:
                 m = sweep_schedule[min(wi, len(sweep_schedule) - 1)]
                 state_q, _ = hs_sor_quarters(state_q, const_q, ny, nx, m,
                                              alpha2)
             uv = from_quarters(state_q)
             u, v = uv[:, 0, :ny, :nx], uv[:, 1, :ny, :nx]
-        else:
+        elif stop == "error":
             colors = _four_colors(I1.shape[-2:])
 
             def cond(c):
@@ -362,6 +362,17 @@ def hs_scale_batched(I1, I2, u, v, dmax, alpha=7.0, warps=10, tol=1e-4,
             init = (u, v, jnp.full((B,), jnp.inf, dtype=I1.dtype),
                     jnp.asarray(0, jnp.int32))
             u, v, _, _ = jax.lax.while_loop(cond, body, init)
+        else:
+            colors = _four_colors(I1.shape[-2:])
+            m = sweep_schedule[min(wi, len(sweep_schedule) - 1)]
+
+            def fbody(_, c):
+                u, v = c
+                u, v, _ = _sor_sweep(u, v, Au, Av, Du, Dv, D, alpha2,
+                                     colors)
+                return u, v
+
+            u, v = jax.lax.fori_loop(0, m, fbody, (u, v))
     return u, v
 
 

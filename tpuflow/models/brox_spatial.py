@@ -138,7 +138,8 @@ def _sor_solve(du, dv, Au, Av, Du, Dv, D, alpha, psis, colors, tol, size,
 def brox_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                tol=DEFAULT_TOL, inner_iter=DEFAULT_INNER,
                outer_iter=DEFAULT_OUTER, stop="error",
-               maxiter=MAXITER_SOR, with_diag=False):
+               maxiter=MAXITER_SOR, with_diag=False, warp_mode="exact",
+               dmax=8):
     """Single-scale Brox spatial flow (reference brox_optic_flow,
     src/brox_optic_flow_spatial.cpp:179-444).
 
@@ -156,8 +157,13 @@ def brox_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
 
     def outer_body(uv, _):
         u, v = uv
-        I2w, I2wx, I2wy, I2wxx, I2wxy, I2wyy = warp_planes(
-            planes, u, v, border_out=True)
+        if warp_mode == "fast":
+            from tpuflow.ops.interp import warp_planes_bounded
+            I2w, I2wx, I2wy, I2wxx, I2wxy, I2wyy = warp_planes_bounded(
+                planes, u, v, dmax)
+        else:
+            I2w, I2wx, I2wy, I2wxx, I2wxy, I2wyy = warp_planes(
+                planes, u, v, border_out=True)
 
         ux, uy = centered_gradient(u)
         vx, vy = centered_gradient(v)
@@ -205,11 +211,13 @@ def brox_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
 
 @partial(jax.jit, static_argnames=("alpha", "gamma", "tol", "inner_iter",
                                    "outer_iter", "stop", "maxiter",
-                                   "with_diag"))
+                                   "with_diag", "warp_mode", "dmax"))
 def _brox_scale_jit(I1, I2, u, v, alpha, gamma, tol, inner_iter, outer_iter,
-                    stop, maxiter, with_diag=False):
+                    stop, maxiter, with_diag=False, warp_mode="exact",
+                    dmax=8):
     return brox_scale(I1, I2, u, v, alpha, gamma, tol, inner_iter,
-                      outer_iter, stop, maxiter, with_diag=with_diag)
+                      outer_iter, stop, maxiter, with_diag=with_diag,
+                      warp_mode=warp_mode, dmax=dmax)
 
 
 def brox_spatial(I1, I2, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
@@ -217,7 +225,7 @@ def brox_spatial(I1, I2, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                  tol=DEFAULT_TOL, inner_iter=DEFAULT_INNER,
                  outer_iter=DEFAULT_OUTER, stop="error",
                  maxiter=MAXITER_SOR, clamp_scales=True, verbose=False,
-                 with_diag=False):
+                 with_diag=False, warp_mode="auto", max_motion=8):
     """Multiscale Brox spatial flow (reference brox_optic_flow_spatial,
     src/brox_optic_flow_spatial.cpp:451-549).
 
@@ -226,10 +234,13 @@ def brox_spatial(I1, I2, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
     `Iterations: %d` per outer*inner iteration (:392-394).
     `with_diag=True` returns (u, v, diags) with diags[s] =
     {"iterations": (outer, inner) int32} per scale, finest first."""
+    import math
     import sys
 
     from tpuflow.ops import clamp_nscales
+    from tpuflow.ops.interp import resolve_warp_mode
 
+    warp_mode = resolve_warp_mode(warp_mode)
     ny, nx = I1.shape[-2:]
     if clamp_scales:
         # reference main clamps on min(nx, ny) >= 16
@@ -241,9 +252,11 @@ def brox_spatial(I1, I2, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
 
     def solve(images, u, v, scale=None):
         lvl1, lvl2 = images
+        dmax = max(3, math.ceil(max_motion * (zfactor ** scale)))
         out = _brox_scale_jit(lvl1, lvl2, u, v, alpha, gamma, tol,
                               inner_iter, outer_iter, stop, maxiter,
-                              with_diag=diag)
+                              with_diag=diag, warp_mode=warp_mode,
+                              dmax=dmax)
         if diag:
             u, v, d = out
             diags[scale] = d

@@ -103,7 +103,7 @@ def _sor_sweep(u, v, Au, Av, Du, Dv, D, al, colors):
 
 def hs_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, warps=DEFAULT_WARPS,
              tol=DEFAULT_TOL, maxiter=DEFAULT_MAXITER, stop="error",
-             with_diag=False):
+             with_diag=False, warp_mode="exact", dmax=8):
     """Single-scale warping Horn-Schunck (reference
     horn_schunck_optical_flow, src/horn_schunck_pyramidal.cpp:78-249).
 
@@ -120,7 +120,11 @@ def hs_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, warps=DEFAULT_WARPS,
 
     def warp_body(uv, _):
         u, v = uv
-        I2w, I2wx, I2wy = warp_planes(planes, u, v, border_out=True)
+        if warp_mode == "fast":
+            from tpuflow.ops.interp import warp_planes_bounded
+            I2w, I2wx, I2wy = warp_planes_bounded(planes, u, v, dmax)
+        else:
+            I2w, I2wx, I2wy = warp_planes(planes, u, v, border_out=True)
         dif = I1 - I2w + I2wx * u + I2wy * v
         Au = dif * I2wx
         Av = dif * I2wy
@@ -157,17 +161,18 @@ def hs_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, warps=DEFAULT_WARPS,
 
 
 @partial(jax.jit, static_argnames=("alpha", "warps", "tol", "maxiter", "stop",
-                                   "with_diag"))
+                                   "with_diag", "warp_mode", "dmax"))
 def _hs_scale_jit(I1, I2, u, v, alpha, warps, tol, maxiter, stop,
-                  with_diag=False):
+                  with_diag=False, warp_mode="exact", dmax=8):
     return hs_scale(I1, I2, u, v, alpha, warps, tol, maxiter, stop,
-                    with_diag=with_diag)
+                    with_diag=with_diag, warp_mode=warp_mode, dmax=dmax)
 
 
 def hs_pyramidal(I1, I2, alpha=DEFAULT_ALPHA, nscales=DEFAULT_NSCALES,
                  zfactor=DEFAULT_ZFACTOR, warps=DEFAULT_WARPS,
                  tol=DEFAULT_TOL, maxiter=DEFAULT_MAXITER, stop="error",
-                 clamp_scales=True, verbose=False, with_diag=False):
+                 clamp_scales=True, verbose=False, with_diag=False,
+                 warp_mode="auto", max_motion=8):
     """Multiscale warping Horn-Schunck (reference horn_schunck_pyramidal,
     src/horn_schunck_pyramidal.cpp:258-370).
 
@@ -176,10 +181,13 @@ def hs_pyramidal(I1, I2, alpha=DEFAULT_ALPHA, nscales=DEFAULT_NSCALES,
     per level (:326-328), and per warp `Warping %d: Iterations %d (%g)`
     (:118-120, :233-235).  `with_diag=True` returns (u, v, diags) with
     diags[s] the per-warp stats dict of scale s (finest first)."""
+    import math
     import sys
 
     from tpuflow.ops import clamp_nscales
+    from tpuflow.ops.interp import resolve_warp_mode
 
+    warp_mode = resolve_warp_mode(warp_mode)
     ny, nx = I1.shape[-2:]
     if clamp_scales:
         # reference main clamps so the coarsest pyramid diagonal stays
@@ -196,8 +204,10 @@ def hs_pyramidal(I1, I2, alpha=DEFAULT_ALPHA, nscales=DEFAULT_NSCALES,
 
     def solve(images, u, v, scale=None):
         lvl1, lvl2 = images
+        dmax = max(3, math.ceil(max_motion * (zfactor ** scale)))
         out = _hs_scale_jit(lvl1, lvl2, u, v, alpha, warps, tol, maxiter,
-                            stop, with_diag=diag)
+                            stop, with_diag=diag, warp_mode=warp_mode,
+                            dmax=dmax)
         if diag:
             u, v, d = out
             diags[scale] = d

@@ -129,7 +129,8 @@ def robust_expo_scale(I1, I2, u, v, method_type=DEFAULT_METHOD,
                       alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                       lam=DEFAULT_LAMBDA, tol=DEFAULT_TOL,
                       inner_iter=DEFAULT_INNER, outer_iter=DEFAULT_OUTER,
-                      stop="error", maxiter=MAXITER_SOR, with_diag=False):
+                      stop="error", maxiter=MAXITER_SOR, with_diag=False,
+                      warp_mode="exact", dmax=8):
     """Single-scale robust-expo flow on (C, H, W) image planes
     (reference robust_expo_methods single-scale overload,
     src/robust_expo_methods.cpp:161-455).  `alpha` must already be
@@ -151,8 +152,13 @@ def robust_expo_scale(I1, I2, u, v, method_type=DEFAULT_METHOD,
 
     def outer_body(uv, _):
         u, v = uv
-        warped = warp_planes(planes.reshape(6 * nz, ny, nx), u, v,
-                             border_out=True).reshape(6, nz, ny, nx)
+        if warp_mode == "fast":
+            from tpuflow.ops.interp import warp_planes_bounded
+            warped = warp_planes_bounded(planes.reshape(6 * nz, ny, nx), u,
+                                         v, dmax).reshape(6, nz, ny, nx)
+        else:
+            warped = warp_planes(planes.reshape(6 * nz, ny, nx), u, v,
+                                 border_out=True).reshape(6, nz, ny, nx)
         I2w, I2wx, I2wy, I2wxx, I2wxy, I2wyy = warped
 
         ux, uy = centered_gradient(u)
@@ -217,13 +223,15 @@ def robust_expo_scale(I1, I2, u, v, method_type=DEFAULT_METHOD,
 
 @partial(jax.jit, static_argnames=("method_type", "alpha", "gamma", "lam",
                                    "tol", "inner_iter", "outer_iter", "stop",
-                                   "maxiter", "with_diag"))
+                                   "maxiter", "with_diag", "warp_mode",
+                                   "dmax"))
 def _robust_expo_scale_jit(I1, I2, u, v, method_type, alpha, gamma, lam, tol,
                            inner_iter, outer_iter, stop, maxiter,
-                           with_diag=False):
+                           with_diag=False, warp_mode="exact", dmax=8):
     return robust_expo_scale(I1, I2, u, v, method_type, alpha, gamma, lam,
                              tol, inner_iter, outer_iter, stop, maxiter,
-                             with_diag=with_diag)
+                             with_diag=with_diag, warp_mode=warp_mode,
+                             dmax=dmax)
 
 
 def _presmooth_reference(im):
@@ -249,7 +257,8 @@ def robust_expo(I1, I2, method_type=DEFAULT_METHOD, alpha=DEFAULT_ALPHA,
                 outer_iter=DEFAULT_OUTER, stop="error",
                 maxiter=MAXITER_SOR, clamp_scales=True,
                 presmooth_mode="reference", level_callback=None,
-                resume=None, verbose=False, with_diag=False):
+                resume=None, verbose=False, with_diag=False,
+                warp_mode="auto", max_motion=8):
     """Multiscale robust-expo flow (reference robust_expo_methods
     multiscale overload, src/robust_expo_methods.cpp:462-566).
 
@@ -266,6 +275,9 @@ def robust_expo(I1, I2, method_type=DEFAULT_METHOD, alpha=DEFAULT_ALPHA,
     "error": (outer, inner)}, finest first."""
     import sys
 
+    from tpuflow.ops.interp import resolve_warp_mode
+
+    warp_mode = resolve_warp_mode(warp_mode)
     if I1.ndim == 2:
         I1 = I1[None]
         I2 = I2[None]
@@ -294,10 +306,12 @@ def robust_expo(I1, I2, method_type=DEFAULT_METHOD, alpha=DEFAULT_ALPHA,
 
     def solve(level_images, state, scale):
         l1, l2 = level_images
+        dmax = max(3, math.ceil(max_motion * (zfactor ** scale)))
         out = _robust_expo_scale_jit(l1, l2, state["u1"], state["u2"],
                                      method_type, alpha_adapted, gamma, lam,
                                      tol, inner_iter, outer_iter, stop,
-                                     maxiter, with_diag=diag)
+                                     maxiter, with_diag=diag,
+                                     warp_mode=warp_mode, dmax=dmax)
         if diag:
             u, v, d = out
             diags[scale] = d

@@ -87,7 +87,7 @@ def _inner_step(u1, u2, p11, p12, p21, p22, I1wx, I1wy, rho_c, grad,
 def tvl1_scale(I0, I1, u1, u2, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
                theta=DEFAULT_THETA, warps=DEFAULT_WARPS,
                epsilon=DEFAULT_EPSILON, max_iterations=MAX_ITERATIONS,
-               stop="error", with_diag=False):
+               stop="error", with_diag=False, warp_mode="exact", dmax=8):
     """Single-scale TV-L1 (reference Dual_TVL1_optic_flow,
     src/tvl1flow.cpp:46-212).  Inputs are assumed normalized+presmoothed
     (the multiscale driver does that).
@@ -106,7 +106,11 @@ def tvl1_scale(I0, I1, u1, u2, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
 
     def warp_body(carry, _):
         u1, u2, p11, p12, p21, p22 = carry
-        I1w, I1wx, I1wy = warp_planes(planes, u1, u2, border_out=True)
+        if warp_mode == "fast":
+            from tpuflow.ops.interp import warp_planes_bounded
+            I1w, I1wx, I1wy = warp_planes_bounded(planes, u1, u2, dmax)
+        else:
+            I1w, I1wx, I1wy = warp_planes(planes, u1, u2, border_out=True)
         grad = I1wx * I1wx + I1wy * I1wy
         rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
 
@@ -143,11 +147,14 @@ def tvl1_scale(I0, I1, u1, u2, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
 
 
 @partial(jax.jit, static_argnames=("tau", "lam", "theta", "warps", "epsilon",
-                                   "max_iterations", "stop", "with_diag"))
+                                   "max_iterations", "stop", "with_diag",
+                                   "warp_mode", "dmax"))
 def _tvl1_scale_jit(I0, I1, u1, u2, tau, lam, theta, warps, epsilon,
-                    max_iterations, stop, with_diag=False):
+                    max_iterations, stop, with_diag=False,
+                    warp_mode="exact", dmax=8):
     return tvl1_scale(I0, I1, u1, u2, tau, lam, theta, warps, epsilon,
-                      max_iterations, stop, with_diag=with_diag)
+                      max_iterations, stop, with_diag=with_diag,
+                      warp_mode=warp_mode, dmax=dmax)
 
 
 def tvl1_multiscale(I0, I1, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
@@ -155,7 +162,8 @@ def tvl1_multiscale(I0, I1, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
                     zfactor=DEFAULT_ZFACTOR, warps=DEFAULT_WARPS,
                     epsilon=DEFAULT_EPSILON, max_iterations=MAX_ITERATIONS,
                     stop="error", clamp_scales=True, level_callback=None,
-                    resume=None, verbose=False, with_diag=False):
+                    resume=None, verbose=False, with_diag=False,
+                    warp_mode="auto", max_motion=8):
     """Multiscale TV-L1 (reference Dual_TVL1_optic_flow_multiscale,
     src/tvl1flow.cpp:219-328).  Returns (u, v), or (u, v, diags) with
     `with_diag=True` where diags[s] is the per-warp stopping-statistic
@@ -168,9 +176,20 @@ def tvl1_multiscale(I0, I1, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
     reference binary's stderr lines: `Scale %d: %dx%d` per level
     (src/tvl1flow.cpp:284-286) and `Warping: %d, Iterations: %d,
     Error: %f` per warp (src/tvl1flow.cpp:184-188).
+
+    `warp_mode` selects the warp implementation: "exact" = the
+    reference's full bicubic gather; "fast" = the displacement-bounded
+    Pallas/shift warp with per-level bound
+    max(3, ceil(max_motion * zfactor**s)) (flows beyond the bound
+    produce 0, the border_out failure class); "auto" (default) = fast
+    on TPU, exact elsewhere (tpuflow.ops.interp.resolve_warp_mode).
     """
+    import math
     import sys
 
+    from tpuflow.ops.interp import resolve_warp_mode
+
+    warp_mode = resolve_warp_mode(warp_mode)
     ny, nx = I0.shape[-2:]
     if clamp_scales:
         nscales = clamp_nscales(nx, ny, zfactor, nscales, use_hypot=True)
@@ -180,9 +199,11 @@ def tvl1_multiscale(I0, I1, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
 
     def solve(images, u1, u2, scale=None):
         lvl_I0, lvl_I1 = images
+        dmax = max(3, math.ceil(max_motion * (zfactor ** scale)))
         out = _tvl1_scale_jit(lvl_I0, lvl_I1, u1, u2, tau, lam, theta,
                               warps, epsilon, max_iterations, stop,
-                              with_diag=diag)
+                              with_diag=diag, warp_mode=warp_mode,
+                              dmax=dmax)
         if diag:
             u1, u2, d = out
             diags[scale] = d

@@ -187,7 +187,8 @@ def solver_wrt_chi(u1, u2, chi, I1wx, I1wy, Im1wx, Im1wy, rho1_c, rho3_c,
 def tvl1occ_scale(Im1, I0, I1, filt_i0, u1, u2, chi, lam=DEFAULT_LAMBDA,
                   alpha=DEFAULT_ALPHA, beta=DEFAULT_BETA, theta=DEFAULT_THETA,
                   warps=DEFAULT_WARPS, epsilon=DEFAULT_EPSILON, stop="error",
-                  max_iterations=EXT_MAX_ITERATIONS, with_diag=False):
+                  max_iterations=EXT_MAX_ITERATIONS, with_diag=False,
+                  warp_mode="exact", dmax=8):
     """Single-scale joint flow + occlusion solver (Dual_TVL1_optic_flow,
     src/tvl1occflow.cpp:143-328).
 
@@ -209,10 +210,17 @@ def tvl1occ_scale(Im1, I0, I1, filt_i0, u1, u2, chi, lam=DEFAULT_LAMBDA,
                   p22=zero, eta1=zero, eta2=zero, u1prev=u1, u2prev=u2)
 
     def warp_body(st, _):
-        I1w, I1wx, I1wy = warp_planes(fwd_planes, st["u1"], st["u2"],
-                                      border_out=False)
-        Im1w, Im1wx, Im1wy = warp_planes(bck_planes, -st["u1"], -st["u2"],
-                                         border_out=False)
+        if warp_mode == "fast":
+            from tpuflow.ops.interp import warp_planes_bounded
+            I1w, I1wx, I1wy = warp_planes_bounded(
+                fwd_planes, st["u1"], st["u2"], dmax, border_out=False)
+            Im1w, Im1wx, Im1wy = warp_planes_bounded(
+                bck_planes, -st["u1"], -st["u2"], dmax, border_out=False)
+        else:
+            I1w, I1wx, I1wy = warp_planes(fwd_planes, st["u1"], st["u2"],
+                                          border_out=False)
+            Im1w, Im1wx, Im1wy = warp_planes(bck_planes, -st["u1"],
+                                             -st["u2"], border_out=False)
         grad1 = I1wx * I1wx + I1wy * I1wy
         grad3 = Im1wx * Im1wx + Im1wy * Im1wy
         rho1_c = I1w - I1wx * st["u1"] - I1wy * st["u2"] - I0
@@ -267,13 +275,13 @@ def tvl1occ_scale(Im1, I0, I1, filt_i0, u1, u2, chi, lam=DEFAULT_LAMBDA,
 
 @partial(jax.jit, static_argnames=("lam", "alpha", "beta", "theta", "warps",
                                    "epsilon", "stop", "max_iterations",
-                                   "with_diag"))
+                                   "with_diag", "warp_mode", "dmax"))
 def _tvl1occ_scale_jit(Im1, I0, I1, filt_i0, u1, u2, chi, lam, alpha, beta,
                        theta, warps, epsilon, stop, max_iterations,
-                       with_diag=False):
+                       with_diag=False, warp_mode="exact", dmax=8):
     return tvl1occ_scale(Im1, I0, I1, filt_i0, u1, u2, chi, lam, alpha,
                          beta, theta, warps, epsilon, stop, max_iterations,
-                         with_diag=with_diag)
+                         with_diag=with_diag, warp_mode=warp_mode, dmax=dmax)
 
 
 def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
@@ -282,7 +290,7 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
                 warps=DEFAULT_WARPS, epsilon=DEFAULT_EPSILON, stop="error",
                 max_iterations=EXT_MAX_ITERATIONS, clamp_scales=True,
                 level_callback=None, resume=None, verbose=False,
-                with_diag=False):
+                with_diag=False, warp_mode="exact", max_motion=8):
     """Multiscale joint flow + occlusion estimation
     (Dual_TVL1_optic_flow_multiscale, src/tvl1occflow.cpp:335-481).
 
@@ -299,8 +307,15 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
     `Warping: %d, Iterations: %d, Error: %e` on STDERR (:292-296).
     `with_diag=True` returns (u1, u2, chi, diags), diags[s] =
     {"iterations": (warps,), "error": (warps,)}, finest first."""
+    import math
     import sys
 
+    from tpuflow.ops.interp import resolve_warp_mode
+
+    # occflow defaults to the exact gather everywhere (its border_out=
+    # False warp has sub-pixel rim differences on the fast path);
+    # warp_mode="fast" is the GSPMD spatial-tiling lane
+    warp_mode = resolve_warp_mode(warp_mode) if warp_mode != "exact" else "exact"
     if filt_i0 is None:
         filt_i0 = I0
     ny, nx = I0.shape[-2:]
@@ -324,10 +339,11 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
 
     def solve(level_images, state, scale):
         lm1, l0, l1, lf = level_images
+        dmax = max(3, math.ceil(max_motion * (zfactor ** scale)))
         out = _tvl1occ_scale_jit(
             lm1, l0, l1, lf, state["u1"], state["u2"], state["chi"], lam,
             alpha, beta, theta, warps, epsilon, stop, max_iterations,
-            with_diag=diag)
+            with_diag=diag, warp_mode=warp_mode, dmax=dmax)
         if diag:
             u1, u2, chi, d = out
             diags[scale] = d

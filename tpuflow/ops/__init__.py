@@ -9,7 +9,9 @@ from tpuflow.ops.gradients import (
     mask3x3,
 )
 from tpuflow.ops.gaussian import gaussian, gaussian_kernel_1d, sepconvol, sgauss_kernel
-from tpuflow.ops.interp import bicubic_at, warp, warp_planes, warp_stack
+from tpuflow.ops.interp import (bicubic_at, image_restriction,
+                                interpolate_bilinear, warp,
+                                warp_planes, warp_stack)
 from tpuflow.ops.median import median_filter
 from tpuflow.ops.normalize import normalize_joint
 from tpuflow.ops.pyramid import (

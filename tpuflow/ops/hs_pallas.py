@@ -75,7 +75,12 @@ def from_quarters(x):
 
 
 def _hs_sor_q_kernel(state_ref, const_ref, out_ref, err_ref, *, n_sweeps,
-                     ny, nx, alpha2):
+                     ny, nx, alpha2, thresh=None, max_iter=None):
+    """`n_sweeps` fixed sweeps, or — when `thresh` is given — sweeps
+    until the last sweep's summed squared update drops to `thresh`
+    (= TOL^2 * size) or `max_iter`, the reference's stopping rule
+    checked after EVERY sweep (src/horn_schunck_pyramidal.cpp:143,230),
+    entirely inside the kernel."""
     dtype = out_ref.dtype
     Hq, Wq = state_ref.shape[2], state_ref.shape[3]
     w = SOR_OMEGA
@@ -144,6 +149,8 @@ def _hs_sor_q_kernel(state_ref, const_ref, out_ref, err_ref, *, n_sweeps,
             hd = jnp.where(last_row[1], h, shd(h_o))
         return (hu + hd) * c1 + (h + up + dn) * c2
 
+    zero = jnp.zeros((), dtype)
+
     def one_sweep(c):
         u = list(c[0])
         v = list(c[1])
@@ -159,43 +166,49 @@ def _hs_sor_q_kernel(state_ref, const_ref, out_ref, err_ref, *, n_sweeps,
                                                + alpha2 * vla) * rdv[k]
         return tuple(u), tuple(v), up, vp
 
+    def sweep_err(u, v, up, vp):
+        err = jnp.zeros((), dtype)
+        for k in range(4):
+            m = in_img[k // 2][k % 2]
+            du = jnp.where(m, u[k] - up[k], zero)
+            dv = jnp.where(m, v[k] - vp[k], zero)
+            err = err + jnp.sum(du * du + dv * dv)
+        return err
+
     u0 = tuple(state_ref[0, k] for k in range(4))
     v0 = tuple(state_ref[0, 4 + k] for k in range(4))
-    init = (u0, v0, u0, v0)
-    u, v, up, vp = jax.lax.fori_loop(0, n_sweeps, lambda i, c: one_sweep(c),
-                                     init)
-    zero = jnp.zeros((), dtype)
-    err = jnp.zeros((), dtype)
+    if thresh is None:
+        init = (u0, v0, u0, v0)
+        u, v, up, vp = jax.lax.fori_loop(
+            0, n_sweeps, lambda i, c: one_sweep(c), init)
+        err = sweep_err(u, v, up, vp)
+        n = jnp.asarray(n_sweeps, jnp.int32)
+    else:
+        def body(c):
+            u, v, _, n = c
+            u, v, up, vp = one_sweep((u, v, None, None))
+            return u, v, sweep_err(u, v, up, vp), n + 1
+
+        def cond(c):
+            return (c[2] > thresh) & (c[3] < max_iter)
+
+        init = (u0, v0, jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(0, jnp.int32))
+        u, v, err, n = jax.lax.while_loop(cond, body, init)
     for k in range(4):
         out_ref[0, k] = u[k]
         out_ref[0, 4 + k] = v[k]
-        m = in_img[k // 2][k % 2]
-        du = jnp.where(m, u[k] - up[k], zero)
-        dv = jnp.where(m, v[k] - vp[k], zero)
-        err = err + jnp.sum(du * du + dv * dv)
-    err_ref[0] = jnp.full((8, 128), err, dtype)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    err_ref[0] = jnp.where(ri == 1, n.astype(dtype), err)
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps", "ny", "nx",
-                                             "alpha2", "interpret"))
-def hs_sor_quarters(state_q, const_q, ny, nx, n_sweeps, alpha2,
-                    interpret=None):
-    """Fused SOR chunk on PARITY-DECOMPOSED arrays (throughput path).
-
-    state_q: (B, 8, Hq, Wq) = quarters of (u, v); const_q: (B, 20, Hq,
-    Wq) = quarters of (Au, Av, Du, Dv, D); Hq % 8 == 0, Wq % 128 == 0.
-    Build these with `to_quarters(pad_hw_q(...))` once per warp and keep
-    the state in quarter layout across the whole chunk loop.  Returns
-    the quarter-layout state plus the per-sample last-sweep error
-    statistic."""
+def _hs_sor_call(state_q, const_q, kern, interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nb, _, Hq, Wq = state_q.shape
     if Hq % 8 or Wq % 128:
         raise ValueError(f"quarter dims must be (8,128)-aligned, got {(Hq, Wq)}")
-    kern = functools.partial(_hs_sor_q_kernel, n_sweeps=n_sweeps, ny=ny,
-                             nx=nx, alpha2=float(alpha2))
-    out, err = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
@@ -218,7 +231,42 @@ def hs_sor_quarters(state_q, const_q, ny, nx, n_sweeps, alpha2,
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(state_q, const_q)
+
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps", "ny", "nx",
+                                             "alpha2", "interpret"))
+def hs_sor_quarters(state_q, const_q, ny, nx, n_sweeps, alpha2,
+                    interpret=None):
+    """Fused SOR chunk on PARITY-DECOMPOSED arrays (throughput path).
+
+    state_q: (B, 8, Hq, Wq) = quarters of (u, v); const_q: (B, 20, Hq,
+    Wq) = quarters of (Au, Av, Du, Dv, D); Hq % 8 == 0, Wq % 128 == 0.
+    Build these with `to_quarters(pad_hw_q(...))` once per warp and keep
+    the state in quarter layout across the whole chunk loop.  Returns
+    the quarter-layout state plus the per-sample last-sweep error
+    statistic."""
+    kern = functools.partial(_hs_sor_q_kernel, n_sweeps=n_sweeps, ny=ny,
+                             nx=nx, alpha2=float(alpha2))
+    out, err = _hs_sor_call(state_q, const_q, kern, interpret)
     return out, err[:, 0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("ny", "nx", "thresh",
+                                             "max_iter", "alpha2",
+                                             "interpret"))
+def hs_sor_error_quarters(state_q, const_q, ny, nx, thresh, max_iter,
+                          alpha2, interpret=None):
+    """One warp's FULL SOR solve with the reference's per-sweep
+    stopping rule inside the kernel: sweep until the summed squared
+    update <= thresh (= TOL^2 * size) or `max_iter` sweeps
+    (src/horn_schunck_pyramidal.cpp:143,230).  Per-sample exact
+    stopping (each sample is its own grid step), one HBM round-trip
+    per warp.  Returns (state_q, err, n_sweeps) per sample."""
+    kern = functools.partial(_hs_sor_q_kernel, n_sweeps=0, ny=ny, nx=nx,
+                             alpha2=float(alpha2), thresh=float(thresh),
+                             max_iter=int(max_iter))
+    out, stat = _hs_sor_call(state_q, const_q, kern, interpret)
+    return out, stat[:, 0, 0], stat[:, 1, 0].astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps", "ny", "nx",

@@ -149,6 +149,38 @@ def warp_planes(planes, u, v, border_out=True):
     return warp_stack(planes, jj + u, ii + v, border_out)
 
 
+def resolve_warp_mode(mode):
+    """Resolve warp_mode="auto" by backend: the bounded fast path on
+    TPU (where XLA's per-pixel gather is ~260 ms/warp), the exact
+    gather elsewhere (CPU f64 parity/tests).  The TPUFLOW_EXACT_WARP=1
+    environment variable forces the exact gather everywhere."""
+    import os
+
+    if os.environ.get("TPUFLOW_EXACT_WARP"):
+        return "exact"
+    if mode == "auto":
+        import jax
+
+        return "fast" if jax.default_backend() == "tpu" else "exact"
+    return mode
+
+
+def warp_planes_bounded(planes, u, v, dmax, interpret=None,
+                        border_out=True):
+    """Displacement-bounded fused warp of a (P, H, W) stack: the Pallas
+    VMEM-window kernel on big planes, the XLA shift-select sum on small
+    ones (kernel launch overhead dominates there).  Semantics =
+    `warp_planes(..., border_out=True)` for |u|inf, |v|inf <= dmax;
+    flows beyond the bound produce 0.  border_out=False (tvl1occflow)
+    always takes the shift path, whose static shifts also shard cleanly
+    under GSPMD (the spatial-tiling 4K configs)."""
+    from tpuflow.ops.warp_pallas import warp_planes_pallas
+
+    if border_out and planes.shape[-2] * planes.shape[-1] >= 96 * 96:
+        return warp_planes_pallas(planes, u, v, dmax, interpret=interpret)
+    return warp_planes_shift(planes, u, v, dmax, border_out=border_out)
+
+
 def warp_planes_shift(planes, u, v, dmax, border_out=True):
     """Gather-free bicubic warp for displacement-bounded flows.
 
@@ -164,11 +196,15 @@ def warp_planes_shift(planes, u, v, dmax, border_out=True):
     flows up to summation order (weights are expanded algebraically
     instead of Horner-nested; f32 differences ~1e-6).  Pixels whose
     flow exceeds dmax produce 0 -- the same failure class as the
-    border_out zeroing.  Only border_out=True is supported (all
-    reference solvers except tvl1occflow use it).
+    border_out zeroing.
+
+    With `border_out=False` (tvl1occflow's mode) out-of-domain pixels
+    keep the bicubic value at clamped tap indices, replicating the
+    reference's neumann_bc clamping for non-negative coordinates
+    (src/bicubic_interpolation.cpp:24-39); coordinates < 0 use the
+    floor anchor instead of the reference's trunc anchor, a sub-pixel
+    difference confined to the one-cell image rim.
     """
-    if not border_out:
-        raise ValueError("warp_planes_shift supports border_out=True only")
     np_, ny, nx = planes.shape
     dtype = planes.dtype
     D = int(dmax)
@@ -229,5 +265,51 @@ def warp_planes_shift(planes, u, v, dmax, border_out=True):
             shifted = shift2(planes, ky, kx)
             for p in range(np_):
                 acc[p] = acc[p] + w * shifted[p]
+    if not border_out:
+        return jnp.stack(acc)
     zero = jnp.zeros((), dtype=dtype)
     return jnp.stack([jnp.where(out, zero, a) for a in acc])
+
+
+def interpolate_bilinear(img, xx, yy):
+    """Vectorized bilinear sampling (reference me_interpolate_bilinear,
+    src/bicubic_interpolation.cpp:407-446).
+
+    The reference's exact-integer-coordinate branches only avoid
+    reading out-of-bounds neighbors whose weight is zero; clamping the
+    +1 tap indices yields identical values for every in-domain
+    coordinate (the only use, me_image_restriction, stays in-domain).
+    """
+    ny, nx = img.shape[-2:]
+    dtype = img.dtype
+    l = jnp.floor(xx).astype(jnp.int32)
+    k = jnp.floor(yy).astype(jnp.int32)
+    a = (xx - l).astype(dtype)
+    b = (yy - k).astype(dtype)
+    l0 = jnp.clip(l, 0, nx - 1)
+    l1 = jnp.clip(l + 1, 0, nx - 1)
+    k0 = jnp.clip(k, 0, ny - 1)
+    k1 = jnp.clip(k + 1, 0, ny - 1)
+    x0 = img[..., k0, l0]
+    x1 = img[..., k0, l1]
+    x2 = img[..., k1, l0]
+    x3 = img[..., k1, l1]
+    return ((1 - b) * ((1 - a) * x0 + a * x1)
+            + b * ((1 - a) * x2 + a * x3))
+
+
+def image_restriction(img, out_size):
+    """Bilinear cell-centered restriction to `out_size` = (new_nx,
+    new_ny) (reference me_image_restriction,
+    src/bicubic_interpolation.cpp:653-688): output sample (i, j) reads
+    the input at gamma/2 - 0.5 + index*gamma per axis."""
+    ny, nx = img.shape[-2:]
+    new_nx, new_ny = out_size
+    dtype = img.dtype
+    gx = nx / new_nx
+    gy = ny / new_ny
+    xs = (gx / 2.0 - 0.5) + gx * jnp.arange(new_nx, dtype=dtype)
+    ys = (gy / 2.0 - 0.5) + gy * jnp.arange(new_ny, dtype=dtype)
+    xx = jnp.broadcast_to(xs[None, :], (new_ny, new_nx))
+    yy = jnp.broadcast_to(ys[:, None], (new_ny, new_nx))
+    return interpolate_bilinear(img, xx, yy)

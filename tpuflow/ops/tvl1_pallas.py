@@ -145,6 +145,148 @@ def _tvl1_iter_kernel(state_ref, const_ref, out_ref, err_ref, *, n_iters,
     err_ref[0] = jnp.full((8, 128), jnp.sum(du * du + dv * dv), dtype)
 
 
+def _tvl1_err_kernel(state_ref, const_ref, out_ref, stat_ref, *, thresh,
+                     max_iter, ny, nx, l_t, theta, taut):
+    """Whole-warp TV-L1 kernel with the reference's per-iteration
+    stopping rule INSIDE the kernel: iterate until the sum of squared
+    flow updates drops to `thresh` (= epsilon^2 * size) or `max_iter`
+    (reference src/tvl1flow.cpp:113,150-162).  One HBM round-trip per
+    warp; each batch sample is its own grid step, so every sample stops
+    at exactly its own iteration — no chunk granularity."""
+    dtype = out_ref.dtype
+    Hp, Wp = state_ref.shape[2], state_ref.shape[3]
+    gi = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
+    last_col = gj == nx - 1
+    last_row = gi == ny - 1
+    first_col = gj == 0
+    first_row = gi == 0
+    zero = jnp.zeros((), dtype)
+
+    iwx = const_ref[0, IWX]
+    iwy = const_ref[0, IWY]
+    rho_c = const_ref[0, RHO_C]
+    grad = const_ref[0, GRAD]
+    fi = -1.0 / jnp.maximum(grad, GRAD_IS_ZERO)
+
+    def shift_left(a):
+        return jnp.concatenate([a[:, 1:], jnp.zeros((Hp, 1), dtype)], axis=1)
+
+    def shift_right(a):
+        return jnp.concatenate([jnp.zeros((Hp, 1), dtype), a[:, :-1]], axis=1)
+
+    def shift_up(a):
+        return jnp.concatenate([a[1:], jnp.zeros((1, Wp), dtype)], axis=0)
+
+    def shift_down(a):
+        return jnp.concatenate([jnp.zeros((1, Wp), dtype), a[:-1]], axis=0)
+
+    def divergence(pa, pb):
+        a = jnp.where(last_col, zero, pa)
+        bb = jnp.where(last_row, zero, pb)
+        dx = a - jnp.where(first_col, zero, shift_right(a))
+        dy = bb - jnp.where(first_row, zero, shift_down(bb))
+        return dx + dy
+
+    def fgrad(f):
+        fx = jnp.where(last_col, zero, shift_left(f) - f)
+        fy = jnp.where(last_row, zero, shift_up(f) - f)
+        return fx, fy
+
+    def body(c):
+        u1, u2, p11, p12, p21, p22, _, n = c
+        rho = rho_c + iwx * u1 + iwy * u2
+        lo = rho < -l_t * grad
+        hi = rho > l_t * grad
+        tiny = grad < GRAD_IS_ZERO
+        mul = jnp.where(lo, l_t, jnp.where(hi, -l_t,
+                        jnp.where(tiny, zero, rho * fi)))
+        v1 = u1 + mul * iwx
+        v2 = u2 + mul * iwy
+
+        u1n = v1 + theta * divergence(p11, p12)
+        u2n = v2 + theta * divergence(p21, p22)
+        # pad pixels never move (their grad/rho/p are zero), so the
+        # full-plane sum equals the in-image sum
+        du = u1n - u1
+        dv = u2n - u2
+        err = jnp.sum(du * du + dv * dv)
+
+        u1x, u1y = fgrad(u1n)
+        u2x, u2y = fgrad(u2n)
+        ng1 = 1.0 / (1.0 + taut * jnp.sqrt(u1x * u1x + u1y * u1y))
+        ng2 = 1.0 / (1.0 + taut * jnp.sqrt(u2x * u2x + u2y * u2y))
+        p11 = (p11 + taut * u1x) * ng1
+        p12 = (p12 + taut * u1y) * ng1
+        p21 = (p21 + taut * u2x) * ng2
+        p22 = (p22 + taut * u2y) * ng2
+        return u1n, u2n, p11, p12, p21, p22, err, n + 1
+
+    def cond(c):
+        return (c[6] > thresh) & (c[7] < max_iter)
+
+    init = (state_ref[0, U1], state_ref[0, U2], state_ref[0, P11],
+            state_ref[0, P12], state_ref[0, P21], state_ref[0, P22],
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32))
+    c = jax.lax.while_loop(cond, body, init)
+    u1, u2, p11, p12, p21, p22, err, n = c
+    out_ref[0, U1] = u1
+    out_ref[0, U2] = u2
+    out_ref[0, P11] = p11
+    out_ref[0, P12] = p12
+    out_ref[0, P21] = p21
+    out_ref[0, P22] = p22
+    # stat rows: row 0 = err, row 1 = iteration count
+    ri = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    stat_ref[0] = jnp.where(ri == 1, n.astype(dtype), err)
+
+
+@functools.partial(jax.jit, static_argnames=("thresh", "max_iter", "ny",
+                                             "nx", "l_t", "theta", "taut",
+                                             "interpret"))
+def tvl1_iterate_error_padded(state_p, const_p, ny, nx, thresh, max_iter,
+                              l_t, theta, taut, interpret=None):
+    """Run one warp's full inner fixed point with the reference's
+    data-dependent stopping inside the kernel (see _tvl1_err_kernel).
+
+    state_p: (B, 6, Hp, Wp), const_p: (B, 4, Hp, Wp), (8,128)-aligned.
+    Returns (state_p, err, n_iters) with per-sample (B,) stopping
+    statistics."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nb, _, Hp, Wp = state_p.shape
+    if Hp % 8 or Wp % 128:
+        raise ValueError(f"padded dims must be (8,128)-aligned, got {(Hp, Wp)}")
+    kern = functools.partial(_tvl1_err_kernel, thresh=float(thresh),
+                             max_iter=int(max_iter), ny=ny, nx=nx,
+                             l_t=float(l_t), theta=float(theta),
+                             taut=float(taut))
+    out, stat = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 6, Hp, Wp), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, Hp, Wp), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 6, Hp, Wp), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 6, Hp, Wp), state_p.dtype),
+            jax.ShapeDtypeStruct((nb, 8, 128), state_p.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(state_p, const_p)
+    return out, stat[:, 0, 0], stat[:, 1, 0].astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters", "ny", "nx", "l_t",
                                              "theta", "taut", "interpret"))
 def tvl1_iterate_padded(state_p, const_p, ny, nx, n_iters, l_t, theta, taut,

@@ -42,7 +42,7 @@ def _axis_weight(c, rel, off):
 
 
 def _warp_kernel(u_ref, v_ref, planes_ref, out_ref, win_ref, sem, *, dmax,
-                 th, tw, ny, nx, n_planes):
+                 rbud, th, tw, ny, nx, n_planes):
     D = dmax
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -76,49 +76,108 @@ def _warp_kernel(u_ref, v_ref, planes_ref, out_ref, win_ref, sem, *, dmax,
 
     cx = _cubic_weights(fx)
     cy = _cubic_weights(fy)
-
-    # precompute the x one-hot weights once per column offset
-    wxs = [_axis_weight(cx, relx, kx) for kx in range(-D - 1, D + 3)]
-
-    acc = [jnp.zeros((th, tw), dtype=dtype) for _ in range(n_planes)]
-    for ky in range(-D - 1, D + 3):
-        wy = _axis_weight(cy, rely, ky)
-        ay = ky + D + 1
-        for kxi, kx in enumerate(range(-D - 1, D + 3)):
-            w = wy * wxs[kxi]
-            ax = kx + D + 1
-            for p in range(n_planes):
-                acc[p] = acc[p] + w * win_ref[p, ay:ay + th, ax:ax + tw]
     zero = jnp.zeros((), dtype=dtype)
-    for p in range(n_planes):
-        out_ref[0, p] = jnp.where(out_dom, zero, acc[p])
+
+    def accumulate(R, base_y, base_x, rx, ry):
+        """One-hot sum over (2R+4)^2 static shifts; (base_y, base_x) is
+        the window-coordinate origin shift (tile-constant)."""
+        wxs = [_axis_weight(cx, rx, kx) for kx in range(-R - 1, R + 3)]
+        acc = [jnp.zeros((th, tw), dtype=dtype) for _ in range(n_planes)]
+        for ky in range(-R - 1, R + 3):
+            wy = _axis_weight(cy, ry, ky)
+            ay = ky + base_y
+            for kxi, kx in enumerate(range(-R - 1, R + 3)):
+                w = wy * wxs[kxi]
+                ax = kx + base_x
+                for p in range(n_planes):
+                    acc[p] = acc[p] + w * win_ref[p, ay:ay + th, ax:ax + tw]
+        for p in range(n_planes):
+            out_ref[0, p] = jnp.where(out_dom, zero, acc[p])
+
+    R = rbud
+    if R is None or R >= D:
+        # exact path only
+        accumulate(D, D + 1, D + 1, relx, rely)
+        return
+
+    # Relative-window fast path: factor a TILE-CONSTANT integer base
+    # (by, bx) out of the displacement so the one-hot sum runs over the
+    # residual budget R instead of the full bound D.  The base is the
+    # midrange of the tile's integer offsets, clamped so the shifted
+    # window stays inside the DMA'd halo; when any in-domain pixel's
+    # residual exceeds R the whole tile falls back to the exact
+    # (2D+4)^2 sum — semantics are IDENTICAL to the exact kernel either
+    # way.  The base shift is applied by dynamically rolling the VMEM
+    # window (tile-constant shift; Mosaic lowers lane/sublane rolls
+    # natively — dynamic-start slices do not compile).
+    valid = jnp.logical_not(out_dom)
+    big = jnp.asarray(10_000, jnp.int32)
+    rx_lo = jnp.min(jnp.where(valid, relx, big))
+    rx_hi = jnp.max(jnp.where(valid, relx, -big))
+    ry_lo = jnp.min(jnp.where(valid, rely, big))
+    ry_hi = jnp.max(jnp.where(valid, rely, -big))
+    lim = D - R
+    bx = jnp.clip((rx_lo + rx_hi + 1) // 2, -lim, lim)
+    by = jnp.clip((ry_lo + ry_hi + 1) // 2, -lim, lim)
+    lrx = relx - bx
+    lry = rely - by
+    overflow = jnp.any(valid & ((jnp.abs(lrx) > R) | (jnp.abs(lry) > R)
+                                | (jnp.abs(relx) > D) | (jnp.abs(rely) > D)))
+
+    @pl.when(jnp.logical_not(overflow))
+    def _fast():
+        # pltpu.roll requires NON-NEGATIVE shifts (negative dynamic
+        # shifts miscompile silently), so express roll-by(-b) as
+        # roll-by(size - b) via mod
+        sh_y = jnp.mod(-by, win_ref.shape[1])
+        sh_x = jnp.mod(-bx, win_ref.shape[2])
+        for p in range(n_planes):
+            rolled = pltpu.roll(
+                pltpu.roll(win_ref[p], shift=sh_y, axis=0),
+                shift=sh_x, axis=1)
+            win_ref[p] = rolled
+        accumulate(R, D + 1, D + 1, lrx, lry)
+
+    @pl.when(overflow)
+    def _exact():
+        accumulate(D, D + 1, D + 1, relx, rely)
 
 
-def warp_planes_pallas(planes, u, v, dmax, tile=(64, 128), interpret=None):
+def warp_planes_pallas(planes, u, v, dmax, tile=(64, 128), interpret=None,
+                       rbud=None):
     """Warp (P, H, W) planes by one bounded flow field on the TPU VPU.
 
     Equivalent to warp_planes(..., border_out=True) for
     |u|inf, |v|inf <= dmax; flows beyond the bound yield 0.
     """
     out = warp_planes_pallas_batched(planes[None], u[None], v[None], dmax,
-                                     tile, interpret)
+                                     tile, interpret, rbud)
     return out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("dmax", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("dmax", "tile", "interpret",
+                                             "rbud"))
 def warp_planes_pallas_batched(planes, u, v, dmax, tile=(64, 128),
-                               interpret=None):
+                               interpret=None, rbud=3):
     """Batched bounded warp: (B, P, H, W) planes, (B, H, W) flows.
 
     The batch is a grid dimension, so every (sample, tile) pair
     pipelines through the same kernel — the TPU throughput path for
     data-parallel batches of frame pairs.  `interpret` defaults to
     auto: interpreter mode off-TPU (tests run on the CPU backend).
+
+    `rbud` is the relative-window residual budget: when rbud < dmax,
+    tiles whose integer displacements all fit within +-rbud of a
+    tile-constant base run a (2*rbud+4)^2-term sum instead of
+    (2*dmax+4)^2 (the common case for the smooth flows of coarse-to-fine
+    solvers); tiles that don't fit fall back to the exact sum, so the
+    result is bit-identical to rbud=None for every input.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nb, n_planes, ny, nx = planes.shape
     D = int(dmax)
+    rbud = None if rbud is None or rbud >= D else int(rbud)
     th, tw = tile
     th = min(th, max(8, ny))
     gy = -(-ny // th)
@@ -145,8 +204,8 @@ def warp_planes_pallas_batched(planes, u, v, dmax, tile=(64, 128),
         u = jnp.pad(u, ((0, 0), (0, hyp - ny), (0, wxp - nx)))
         v = jnp.pad(v, ((0, 0), (0, hyp - ny), (0, wxp - nx)))
 
-    kern = functools.partial(_warp_kernel, dmax=D, th=th, tw=tw, ny=ny,
-                             nx=nx, n_planes=n_planes)
+    kern = functools.partial(_warp_kernel, dmax=D, rbud=rbud, th=th, tw=tw,
+                             ny=ny, nx=nx, n_planes=n_planes)
     out = pl.pallas_call(
         kern,
         grid=(nb, gy, gx),

@@ -190,10 +190,12 @@ def brox_temporal_scale_sharded(I, u, v, axis_name, axis_size,
     return lax.fori_loop(0, outer_iter, outer_body, (u, v))
 
 
-def brox_temporal_sharded(I, mesh, axis_name="t", **kw):
+def brox_temporal_sharded(I, mesh, axis_name="t", u0=None, v0=None, **kw):
     """Single-scale temporal Brox with the frame axis sharded over
     `mesh[axis_name]`.  I: (T, H, W), any T >= 3.  Returns (T-1, H, W)
-    u, v (replicated gather at the end).
+    u, v (replicated gather at the end).  `u0`/`v0` optionally seed the
+    flow fields (the coarse-to-fine wrapper passes the upsampled
+    coarser-level flow); default zeros.
 
     When (T-1) is not divisible by the axis size, the field axis is
     padded with copies of the last frame; padded fields are frozen at
@@ -201,11 +203,6 @@ def brox_temporal_sharded(I, mesh, axis_name="t", **kw):
     global-index validity mask) and real fields clamp their temporal
     neighbors by GLOBAL index, so results are identical to the even
     case — the padding costs compute on the last shard only.
-
-    The multiscale wrapper is the same pyramid as
-    models.brox_temporal.brox_temporal; this entry point exposes the
-    sharded per-scale solver (the pyramid's coarse levels are usually
-    cheaper to run unsharded).
     """
     frames, ny, nx = I.shape
     nz = frames - 1
@@ -219,7 +216,14 @@ def brox_temporal_sharded(I, mesh, axis_name="t", **kw):
     # = the sharded frame volume plus a one-frame lookahead
     slabs = jnp.stack([I[k * tl:(k + 1) * tl + 1]
                        for k in range(axis_size)])  # (n, tl+1, H, W)
-    u0 = jnp.zeros((axis_size, tl, ny, nx), dtype=I.dtype)
+
+    def flow_slabs(f):
+        if f is None:
+            return jnp.zeros((axis_size, tl, ny, nx), dtype=I.dtype)
+        pad = tl * axis_size - nz
+        if pad:
+            f = jnp.concatenate([f, jnp.zeros((pad, ny, nx), dtype=f.dtype)])
+        return f.reshape(axis_size, tl, ny, nx)
 
     spec = P(axis_name, None, None, None)
 
@@ -232,7 +236,63 @@ def brox_temporal_sharded(I, mesh, axis_name="t", **kw):
         lambda s, u, v: tuple(x[None] for x in local(s, u, v)),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=(spec, spec))
     sharding = NamedSharding(mesh, spec)
-    args = [jax.device_put(x, sharding) for x in (slabs, u0, u0)]
+    args = [jax.device_put(x, sharding)
+            for x in (slabs, flow_slabs(u0), flow_slabs(v0))]
     u, v = jax.jit(fn)(*args)
     return (u.reshape(tl * axis_size, ny, nx)[:nz],
             v.reshape(tl * axis_size, ny, nx)[:nz])
+
+
+def brox_temporal_multiscale_sharded(I, mesh, axis_name="t",
+                                     alpha=DEFAULT_ALPHA,
+                                     gamma=DEFAULT_GAMMA, nscales=100,
+                                     zfactor=0.75, tol=DEFAULT_TOL,
+                                     inner_iter=DEFAULT_INNER,
+                                     outer_iter=DEFAULT_OUTER,
+                                     maxiter=300, stop="error",
+                                     clamp_scales=True):
+    """MULTISCALE frame-axis-sharded Brox temporal flow: the same
+    coarse-to-fine pyramid as models.brox_temporal.brox_temporal
+    (reference src/brox_optic_flow_temporal.cpp:566-601) with every
+    scale solved by the ring-halo sharded solver.  Pyramid construction
+    and the between-level flow upsample are per-frame ops with no
+    temporal coupling, so they run on the replicated volume (cheap next
+    to the SOR sweeps).  Returns (T-1, H, W) u, v."""
+    from tpuflow.models.brox_temporal import PRESMOOTH_SIGMA
+    from tpuflow.models.common import run_pyramid_state
+    from tpuflow.ops import clamp_nscales, gaussian
+
+    frames, ny, nx = I.shape
+    if frames <= 2:
+        raise ValueError("The method needs more than two frames "
+                         "(src/brox_optic_flow_temporal.cpp:537)")
+    if clamp_scales:
+        nscales = clamp_nscales(nx, ny, zfactor, nscales, use_hypot=False)
+
+    def preprocess(images):
+        (vol,) = images
+        mn, mx = jnp.min(vol), jnp.max(vol)
+        den = mx - mn
+        von = jnp.where(den > 0,
+                        255.0 * (vol - mn) / jnp.where(den > 0, den, 1.0),
+                        vol)
+        return (gaussian(von, PRESMOOTH_SIGMA),)
+
+    def state_init(size, dtype):
+        cnx, cny = size
+        z = jnp.zeros((frames - 1, cny, cnx), dtype=dtype)
+        return {"u1": z, "u2": z}
+
+    def solve(level_images, state, scale):
+        u, v = brox_temporal_sharded(
+            level_images[0], mesh, axis_name, u0=state["u1"],
+            v0=state["u2"], alpha=alpha, gamma=gamma, tol=tol,
+            inner_iter=inner_iter, outer_iter=outer_iter, maxiter=maxiter,
+            stop=stop)
+        return {"u1": u, "u2": v}
+
+    state = run_pyramid_state(
+        (I,), nscales, zfactor, solve,
+        presmooth=None, preprocess=preprocess, state_init=state_init,
+        trace_name="brox_temporal_sharded")
+    return state["u1"], state["u2"]
