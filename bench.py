@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """tpuflow benchmark driver.
 
-Prints ONE JSON line:
+Prints ONE JSON line (the LAST line of stdout is the authoritative
+result; a partial headline line is flushed early as insurance against
+hard timeouts):
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "extra": {...}}
 
 Headline metric (BASELINE.json): TV-L1 flow fields/sec/chip at 1024x436
@@ -15,19 +17,39 @@ number.
 `vs_baseline` compares against the reference C++/OpenMP binary measured
 on this container's CPU by tools/bench_reference.py, read from the
 checked-in artifact tools/baseline_measured.json.
+
+Cold-start design (round 4): both stopping modes of each method share
+one compiled program (runtime stopping scalars), and the two method
+programs are pre-compiled in PARALLEL subprocesses that populate the
+persistent compilation cache before the measuring process compiles —
+the Mosaic kernels inside one XLA program compile serially, but
+separate programs compile concurrently (tools/tpu_exp/r4_mp_compile.py).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
 
-_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "tools", "baseline_measured.json")
+_ARTIFACT = os.path.join(_ROOT, "tools", "baseline_measured.json")
+_CACHE = os.environ.get("TPUFLOW_JAX_CACHE", "/tmp/tpuflow-jax-cache")
+
+B = 16
+NY, NX = 436, 1024
+
+
+def _config_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return jax
 
 
 def _baseline():
@@ -42,7 +64,7 @@ def _baseline():
         return {}
 
 
-def synth_pair(ny=436, nx=1024, seed=7):
+def synth_pair(ny=NY, nx=NX, seed=7):
     rng = np.random.default_rng(seed)
     noise = rng.standard_normal((ny, nx))
     fy = np.fft.fftfreq(ny)[:, None]
@@ -63,6 +85,47 @@ def synth_pair(ny=436, nx=1024, seed=7):
     return base.astype(np.float32), I1.astype(np.float32)
 
 
+def _prewarm(which):
+    """Subprocess entry: AOT-compile one method's program into the
+    persistent cache (no execution, so concurrent prewarmers never
+    contend for the chip)."""
+    _config_jax()
+    import jax.numpy as jnp
+
+    from tpuflow.models import batch as mb
+    from tpuflow.ops import clamp_nscales
+
+    I0 = jnp.zeros((B, NY, NX), jnp.float32)
+    if which == "tvl1":
+        ns = clamp_nscales(NX, NY, 0.5, 100, use_hypot=True)
+        tb, caps = mb._tvl1_mode_scalars(
+            "error", 0.01, 300, mb.DEFAULT_ITER_SCHEDULE, 5, ns,
+            jnp.float32)
+        mb._tvl1_batched_jit.lower(I0, I0, 0.25, 0.15, 0.3, ns, 0.5, 8,
+                                   tb, caps).compile()
+    elif which == "hs":
+        ns = clamp_nscales(NX, NY, 0.5, 10, use_hypot=True)
+        tb, caps = mb._hs_mode_scalars("error", 1e-4, 150, 10, ns, 0.5,
+                                       NY, NX, jnp.float32)
+        mb._hs_batched_jit.lower(I0, I0, 7.0, ns, 0.5, 8, tb,
+                                 caps).compile()
+
+
+def _parallel_prewarm():
+    t0 = time.perf_counter()
+    procs = [subprocess.Popen([sys.executable, __file__, "--prewarm", w],
+                              stdout=subprocess.DEVNULL,
+                              stderr=subprocess.DEVNULL)
+             for w in ("tvl1", "hs")]
+    deadline = time.time() + 300
+    for p in procs:
+        try:
+            p.wait(timeout=max(1, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            p.kill()
+    print(f"prewarm: {time.perf_counter() - t0:.0f} s", file=sys.stderr)
+
+
 def _time(run, n=5):
     run()  # warmup/compile
     t0 = time.perf_counter()
@@ -72,18 +135,15 @@ def _time(run, n=5):
 
 
 def main():
-    import jax
+    _parallel_prewarm()
+    _config_jax()
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpuflow-jax-cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from tpuflow.models.batch import hs_pyramidal_batched, tvl1_batched
 
     # batch of distinct synthetic pairs; stop="error" reproduces the
     # reference CLI's data-dependent stopping per sample, so throughput
     # is measured at the reference operating point
-    B = 16
     I0s, I1s = [], []
     for s in range(B):
         a, b = synth_pair(seed=100 + s)
@@ -108,12 +168,23 @@ def main():
         return float(jnp.sum(u))
 
     base = _baseline()
+    base_tvl1 = base.get("tvl1flow")
+    base_hs = base.get("horn_schunck_pyramidal")
+
     fps = B / _time(run_tvl1)
+    # insurance: flush the headline before benching the extras, so even
+    # a hard timeout records the north-star number
+    print(json.dumps({
+        "metric": "tvl1_fields_per_sec_1024x436",
+        "value": round(fps, 3),
+        "unit": "fields/s/chip",
+        "vs_baseline": round(fps / base_tvl1, 2) if base_tvl1 else None,
+        "extra": {"partial": True},
+    }), flush=True)
+
     fps_fixed = B / _time(run_tvl1_fixed)
     fps_hs = B / _time(run_hs)
 
-    base_tvl1 = base.get("tvl1flow")
-    base_hs = base.get("horn_schunck_pyramidal")
     print(json.dumps({
         "metric": "tvl1_fields_per_sec_1024x436",
         "value": round(fps, 3),
@@ -127,8 +198,11 @@ def main():
             "reference_cpu_tvl1": base_tvl1,
             "reference_cpu_hs": base_hs,
         },
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--prewarm":
+        _prewarm(sys.argv[2])
+    else:
+        main()

@@ -1,22 +1,32 @@
-"""Batched fixed-iteration solvers — the TPU throughput path.
+"""Batched solvers — the TPU throughput path.
 
 The reference processes one frame pair per process (OpenMP threads
 inside one pair); the TPU-native throughput axis is BATCH: many pairs
 per chip, data-parallel across chips (SURVEY.md §2 parallelism table).
-Data-dependent stopping cannot batch (each sample would stop at its own
-iteration), so this driver runs a FIXED per-warp iteration schedule
-calibrated as an upper envelope of the reference's observed stopping
-iterations at default parameters (tvl1flow verbose runs converge in
-1-20 inner iterations per warp, nowhere near the 300 cap:
-src/tvl1flow.cpp:22).
 
-The warp uses the displacement-bounded Pallas kernel
-(tpuflow.ops.warp_pallas) with a per-level bound following the pyramid:
-flow magnitude at level s scales as max_motion * zfactor**s.  Flows
-beyond the bound behave like border_out pixels (contribute 0) — the
-same graceful degradation the reference has for out-of-frame motion.
-Small pyramid levels fall back to the pure-XLA shift-select warp
-(kernel launch overhead dominates there).
+Two stopping modes share ONE compiled program per batch geometry:
+  * stop="error" — the reference CLI's operating point: per-sample
+    data-dependent stopping (src/tvl1flow.cpp:113,150-162;
+    src/horn_schunck_pyramidal.cpp:143,230) runs INSIDE the fused
+    Pallas kernels, so each sample stops at exactly its own iteration.
+  * stop="fixed" — a fixed per-warp iteration schedule calibrated as an
+    upper envelope of the reference's observed stopping iterations.
+Mode differences (stopping threshold, per-warp iteration caps) are
+RUNTIME scalars threaded through the jit, so switching modes never
+recompiles — a deliberate cold-start design (round 4): the Mosaic
+kernels' compile time is the dominant cost of a cold process.
+
+Per warp a level runs exactly TWO fused kernels: warp+constants
+(tpuflow.ops.warp_pallas: bounded bicubic warp emitting each solver's
+per-warp constant planes in padded layout) and the whole-level-in-VMEM
+iteration kernel (tvl1_pallas / hs_pallas).  The warp loop is a lax
+loop, so each Mosaic program appears once per level.
+
+The displacement bound follows the pyramid: flow magnitude at level s
+scales as max_motion * zfactor**s.  Flows beyond the bound behave like
+border_out pixels (contribute 0) — the same graceful degradation the
+reference has for out-of-frame motion.  Small pyramid levels fall back
+to pure-XLA compute (kernel launch overhead dominates there).
 """
 
 import math
@@ -29,14 +39,18 @@ from tpuflow.models.tvl1 import _inner_step
 from tpuflow.ops import centered_gradient, clamp_nscales
 from tpuflow.ops.interp import warp_planes_shift
 from tpuflow.ops.tvl1_pallas import (fits_vmem, pad_hw,
-                                     tvl1_iterate_error_padded,
-                                     tvl1_iterate_padded)
-from tpuflow.ops.warp_pallas import warp_planes_pallas_batched
+                                     tvl1_iterate_error_padded)
+from tpuflow.ops.warp_pallas import (pick_tile, warp_const_pallas_batched,
+                                     warp_planes_pallas_batched)
 
 # per-warp inner-iteration schedule: upper envelope of the reference's
 # observed data-dependent stopping at default params (epsilon=0.01)
 DEFAULT_ITER_SCHEDULE = (30, 20, 10, 6, 6)
 PALLAS_MIN_PIXELS = 96 * 96
+# relative-window residual budget / tile for the fused warp kernels
+# (tools/tpu_exp/r3_warpsweep.log: D=8 tile=(32,512) rbud=2 = 497 us/sample)
+WARP_RBUD = 2
+WARP_TILE = (32, 512)
 
 
 def _normalize_pair_batched(I0, I1):
@@ -67,75 +81,26 @@ def _warp3(I1, I1x, I1y, u1, u2, dmax):
     return w[:, 0], w[:, 1], w[:, 2]
 
 
-ERROR_CHUNK = 8  # iterations between convergence checks in error mode
-
-
 def _use_fused(shape):
     ny, nx = shape[-2:]
     return ny * nx >= PALLAS_MIN_PIXELS and fits_vmem(ny, nx)
 
 
-def tvl1_scale_fixed(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
-                     iter_schedule=DEFAULT_ITER_SCHEDULE):
-    """Single-scale TV-L1 with a fixed per-warp iteration schedule and
-    bounded-displacement warps.  Batched (B, H, W) arrays.
 
-    Big levels run the inner fixed point through the whole-level-in-VMEM
-    Pallas kernel (tpuflow.ops.tvl1_pallas): each warp's full iteration
-    budget is ONE fused kernel call (one HBM round-trip), and the state
-    stays (8, 128)-padded across the whole scale so no pad/unpad copies
-    sit in the hot loop."""
+
+def tvl1_scale_batched(I0, I1, u1, u2, dmax, tau, lam, theta, thresh, caps):
+    """Batched single-scale TV-L1 with bounded-displacement warps.
+
+    `thresh` (runtime scalar) is the reference's stopping threshold
+    epsilon^2 * size (src/tvl1flow.cpp:113,150-162); thresh < 0
+    disables stopping so each warp runs exactly its cap.  `caps` is a
+    (warps,) int32 array of per-warp iteration caps.  Big levels run
+    each warp as warp-constants kernel + whole-level-in-VMEM iteration
+    kernel (one HBM round-trip each)."""
     l_t = lam * theta
     taut = tau / theta
     ny, nx = I0.shape[-2:]
-    I1x, I1y = centered_gradient(I1)
-    zero = jnp.zeros_like(u1)
-    big = _use_fused(I0.shape)
-    state = jnp.stack([u1, u2, zero, zero, zero, zero], axis=1)
-
-    if big:
-        state_p = pad_hw(state)
-        for iters in iter_schedule:
-            u1 = state_p[:, 0, :ny, :nx]
-            u2 = state_p[:, 1, :ny, :nx]
-            I1w, I1wx, I1wy = _warp3(I1, I1x, I1y, u1, u2, dmax)
-            grad = I1wx * I1wx + I1wy * I1wy
-            rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
-            const_p = pad_hw(jnp.stack([I1wx, I1wy, rho_c, grad], axis=1))
-            state_p, _ = tvl1_iterate_padded(state_p, const_p, ny, nx,
-                                             iters, l_t, theta, taut)
-        return state_p[:, 0, :ny, :nx], state_p[:, 1, :ny, :nx]
-
-    for iters in iter_schedule:
-        u1, u2 = state[:, 0], state[:, 1]
-        I1w, I1wx, I1wy = _warp3(I1, I1x, I1y, u1, u2, dmax)
-        grad = I1wx * I1wx + I1wy * I1wy
-        rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
-
-        def body(_, c):
-            return _inner_step(c[0], c[1], c[2], c[3], c[4], c[5],
-                               I1wx, I1wy, rho_c, grad, l_t, theta,
-                               taut)[:6]
-
-        parts = jax.lax.fori_loop(
-            0, iters, body, tuple(state[:, k] for k in range(6)))
-        state = jnp.stack(parts, axis=1)
-    return state[:, 0], state[:, 1]
-
-
-def tvl1_scale_error(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
-                     warps=5, epsilon=0.01, max_iterations=300):
-    """Batched single-scale TV-L1 with PER-SAMPLE data-dependent
-    stopping: the reference's `mean squared flow update > epsilon^2`
-    rule (src/tvl1flow.cpp:113,150-162), checked every ERROR_CHUNK
-    iterations; converged samples freeze while the rest of the batch
-    keeps iterating.  Within a check granularity of ERROR_CHUNK this is
-    the reference operating point, batched."""
-    l_t = lam * theta
-    taut = tau / theta
-    ny, nx = I0.shape[-2:]
-    size = ny * nx
-    thresh = epsilon * epsilon * size
+    warps = caps.shape[0]
     I1x, I1y = centered_gradient(I1)
     zero = jnp.zeros_like(u1)
     big = _use_fused(I0.shape)
@@ -143,31 +108,32 @@ def tvl1_scale_error(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
     B = I0.shape[0]
 
     if big:
-        # whole warp inside ONE kernel call: the reference's
-        # per-iteration stopping runs inside the Pallas kernel, so each
-        # sample stops at exactly its own iteration (no chunk
-        # granularity) and each warp costs one HBM round-trip
         state_p = pad_hw(state)
-        for _ in range(warps):
-            u1 = state_p[:, 0, :ny, :nx]
-            u2 = state_p[:, 1, :ny, :nx]
-            I1w, I1wx, I1wy = _warp3(I1, I1x, I1y, u1, u2, dmax)
-            grad = I1wx * I1wx + I1wy * I1wy
-            rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
-            const_p = pad_hw(jnp.stack([I1wx, I1wy, rho_c, grad], axis=1))
+        I1s = jnp.stack([I1, I1x, I1y], axis=1)
+        aux_p = pad_hw(I0)
+        Hp, Wp = state_p.shape[-2:]
+        tile = pick_tile(Hp, Wp, WARP_TILE)
+
+        def warp_body(wi, state_p):
+            const_p, _ = warp_const_pallas_batched(
+                I1s, state_p[:, :2], aux_p, dmax, "tvl1", ny, nx,
+                tile=tile, rbud=WARP_RBUD)
             state_p, _, _ = tvl1_iterate_error_padded(
-                state_p, const_p, ny, nx, thresh, max_iterations, l_t,
-                theta, taut)
+                state_p, const_p, ny, nx, thresh, caps[wi], l_t, theta,
+                taut)
+            return state_p
+
+        state_p = jax.lax.fori_loop(0, warps, warp_body, state_p)
         return state_p[:, 0, :ny, :nx], state_p[:, 1, :ny, :nx]
 
-    for _ in range(warps):
+    def warp_body(wi, state):
         u1, u2 = state[:, 0], state[:, 1]
         I1w, I1wx, I1wy = _warp3(I1, I1x, I1y, u1, u2, dmax)
         grad = I1wx * I1wx + I1wy * I1wy
         rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
 
         def cond(c):
-            return jnp.any(c[1] > thresh) & (c[2] < max_iterations)
+            return jnp.any(c[1] > thresh) & (c[2] < caps[wi])
 
         def body(c):
             state, err, n = c
@@ -187,19 +153,23 @@ def tvl1_scale_error(I0, I1, u1, u2, dmax, tau=0.25, lam=0.15, theta=0.3,
         init = (state, jnp.full((B,), jnp.inf, dtype=I0.dtype),
                 jnp.asarray(0, jnp.int32))
         state, _, _ = jax.lax.while_loop(cond, body, init)
+        return state
+
+    state = jax.lax.fori_loop(0, warps, warp_body, state)
     return state[:, 0], state[:, 1]
 
 
-def _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor, iter_schedule,
-                  max_motion, stop, warps, epsilon, max_iterations,
-                  level_callback=None, resume=None):
+def _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor, max_motion,
+                  thresh_base, caps_all, level_callback=None, resume=None):
     """Shared batched TV-L1 pyramid over run_pyramid_state (SURVEY §5.4:
-    one driver = uniform checkpoint/resume/trace hooks)."""
+    one driver = uniform checkpoint/resume/trace hooks).
+
+    thresh_base: runtime scalar — epsilon^2 (error mode) or -1 (fixed);
+    per level thresh = thresh_base * level_size.
+    caps_all: (nscales, warps) runtime int32 per-warp iteration caps."""
     from tpuflow.models.common import run_pyramid_state
 
     B, ny, nx = I0.shape
-    if nscales is None:
-        nscales = clamp_nscales(nx, ny, zfactor, 100, use_hypot=True)
 
     def state_init(size, dtype):
         cnx, cny = size
@@ -209,16 +179,12 @@ def _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor, iter_schedule,
     def solve(level_images, state, scale):
         dmax = max(3, math.ceil(max_motion * (zfactor ** scale)))
         l0, l1 = level_images
-        u1, u2 = state["u1"], state["u2"]
-        if stop == "error":
-            u1, u2 = tvl1_scale_error(l0, l1, u1, u2, dmax=dmax, tau=tau,
-                                      lam=lam, theta=theta, warps=warps,
-                                      epsilon=epsilon,
-                                      max_iterations=max_iterations)
-        else:
-            u1, u2 = tvl1_scale_fixed(l0, l1, u1, u2, dmax=dmax, tau=tau,
-                                      lam=lam, theta=theta,
-                                      iter_schedule=iter_schedule)
+        cny, cnx = l0.shape[-2:]
+        thresh = thresh_base * (cny * cnx)
+        u1, u2 = tvl1_scale_batched(l0, l1, state["u1"], state["u2"],
+                                    dmax=dmax, tau=tau, lam=lam,
+                                    theta=theta, thresh=thresh,
+                                    caps=caps_all[scale])
         return {"u1": u1, "u2": u2}
 
     state = run_pyramid_state(
@@ -230,15 +196,29 @@ def _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor, iter_schedule,
 
 
 @partial(jax.jit, static_argnames=("tau", "lam", "theta", "nscales",
-                                   "zfactor", "iter_schedule", "max_motion",
-                                   "stop", "warps", "epsilon",
-                                   "max_iterations"))
+                                   "zfactor", "max_motion"))
 def _tvl1_batched_jit(I0, I1, tau, lam, theta, nscales, zfactor,
-                      iter_schedule, max_motion, stop, warps, epsilon,
-                      max_iterations):
+                      max_motion, thresh_base, caps_all):
     return _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor,
-                         iter_schedule, max_motion, stop, warps, epsilon,
-                         max_iterations)
+                         max_motion, thresh_base, caps_all)
+
+
+def _tvl1_mode_scalars(stop, epsilon, max_iterations, iter_schedule,
+                       warps, nscales, dtype):
+    """Map a stopping mode onto the two runtime values that distinguish
+    it — the whole point being that BOTH modes share one compiled
+    program (the scalars ride through the jit as inputs)."""
+    if stop == "error":
+        thresh_base = jnp.asarray(epsilon * epsilon, dtype)
+        caps = jnp.full((nscales, warps), max_iterations, jnp.int32)
+    elif stop == "fixed":
+        thresh_base = jnp.asarray(-1.0, dtype)
+        caps = jnp.broadcast_to(
+            jnp.asarray(iter_schedule, jnp.int32)[None, :],
+            (nscales, len(iter_schedule))).copy()
+    else:
+        raise ValueError(f"unknown stop mode {stop!r}")
+    return thresh_base, caps
 
 
 def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
@@ -252,26 +232,30 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
     displacement bound: max(3, ceil(max_motion * zfactor**s)).
 
     stop="error" (default) reproduces the reference CLI's operating
-    point: per-sample data-dependent stopping at epsilon, checked every
-    ERROR_CHUNK iterations with converged samples frozen.
+    point: per-sample data-dependent stopping at epsilon, exact to the
+    iteration (inside the fused kernel on big levels).
     stop="fixed" runs `iter_schedule` per warp — fully static, fastest.
+    Both modes share one compiled program per batch geometry.
 
     `level_callback(scale, state)` / `resume=(scale, state)` enable
     per-level checkpointing; that path runs the pyramid level-by-level
     on the host (each level's solve still compiled) so flows are
     materialized between levels.
     """
+    ny, nx = I0.shape[-2:]
+    if nscales is None:
+        nscales = clamp_nscales(nx, ny, zfactor, 100, use_hypot=True)
+    if stop == "fixed":
+        warps = len(iter_schedule)
+    thresh_base, caps_all = _tvl1_mode_scalars(
+        stop, epsilon, max_iterations, iter_schedule, warps, nscales,
+        I0.dtype if hasattr(I0, "dtype") else jnp.float32)
     if level_callback is None and resume is None:
         return _tvl1_batched_jit(I0, I1, tau, lam, theta, nscales, zfactor,
-                                 iter_schedule, max_motion, stop, warps,
-                                 epsilon, max_iterations)
+                                 max_motion, thresh_base, caps_all)
     return _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor,
-                         iter_schedule, max_motion, stop, warps, epsilon,
-                         max_iterations, level_callback=level_callback,
-                         resume=resume)
-
-
-HS_SOR_CHUNK = 6  # sweeps per fused kernel call in error mode
+                         max_motion, thresh_base, caps_all,
+                         level_callback=level_callback, resume=resume)
 
 
 def hs_sweep_schedule(ny, nx):
@@ -292,29 +276,69 @@ def hs_sweep_schedule(ny, nx):
     return (73, 12, 6, 4, 4, 3, 3, 4, 4, 4)
 
 
-def hs_scale_batched(I1, I2, u, v, dmax, alpha=7.0, warps=10, tol=1e-4,
-                     maxiter=150, stop="error", sweep_schedule=None):
-    """Batched single-scale warping Horn-Schunck with the fused 4-color
-    SOR kernel (tpuflow.ops.hs_pallas) on big levels.
+def hs_scale_batched(I1, I2, u, v, dmax, alpha, thresh, caps):
+    """Batched single-scale warping Horn-Schunck.
+
+    `thresh` (runtime scalar) = TOL^2 * size
+    (src/horn_schunck_pyramidal.cpp:143,230); thresh < 0 disables the
+    in-kernel stop so each warp runs exactly its cap.  `caps` is a
+    (warps,) int32 array of per-warp sweep caps.
+
+    Big levels run the whole warp loop as a lax while_loop over TWO
+    fused kernels per warp — warp+constants (warp_const_pallas_batched)
+    and the in-VMEM quarter-plane SOR — with the state held in quarter
+    layout across the level.  When stopping is enabled the warp loop
+    EXITS EARLY once a warp's SOR converges within 2 sweeps for every
+    sample: the reference's own operating data
+    (tools/hs_calibration.json) shows late warps converging in 1-4
+    sweeps, at which point the remaining warps are numerical no-ops
+    (EPE-validated vs the reference binary in the TPU test lane).
 
     Reference per-warp system constants:
     src/horn_schunck_pyramidal.cpp:128-137."""
     from tpuflow.models.hs_pyramidal import _four_colors, _sor_sweep
     from tpuflow.ops.hs_pallas import (from_quarters, hs_sor_error_quarters,
-                                       hs_sor_quarters, pad_hw_q,
-                                       to_quarters)
+                                       pad_hw_q, to_quarters)
 
     alpha2 = alpha * alpha
     ny, nx = I1.shape[-2:]
-    if sweep_schedule is None:
-        sweep_schedule = hs_sweep_schedule(ny, nx)
-    size = ny * nx
-    thresh = (tol * tol) * size  # sqrt(err/size) > tol  <=>  err > tol^2*size
+    warps = caps.shape[0]
     big = _use_fused(I1.shape)
     I2x, I2y = centered_gradient(I2)
     B = I1.shape[0]
 
-    for wi in range(warps):
+    if big:
+        I2s = jnp.stack([I2, I2x, I2y], axis=1)
+        aux_p = pad_hw_q(I1)
+        state_q = to_quarters(pad_hw_q(jnp.stack([u, v], axis=1)))
+        Hp, Wp = aux_p.shape[-2:]
+        tile = pick_tile(Hp, Wp, WARP_TILE)
+
+        def cond(c):
+            return (c[1] < warps) & jnp.logical_not(c[2])
+
+        def body(c):
+            state_q, wi, _ = c
+            uv_p = from_quarters(state_q)
+            const_p, _ = warp_const_pallas_batched(
+                I2s, uv_p, aux_p, dmax, "hs", ny, nx, tile=tile,
+                rbud=WARP_RBUD, alpha2=alpha2)
+            const_q = to_quarters(const_p)
+            state_q, _, n = hs_sor_error_quarters(
+                state_q, const_q, ny, nx, thresh, caps[wi], alpha2)
+            done = (jnp.max(n) <= 2) & (thresh > 0)
+            return state_q, wi + 1, done
+
+        state_q, _, _ = jax.lax.while_loop(
+            cond, body, (state_q, jnp.asarray(0, jnp.int32),
+                         jnp.asarray(False)))
+        uv = from_quarters(state_q)
+        return uv[:, 0, :ny, :nx], uv[:, 1, :ny, :nx]
+
+    colors = _four_colors(I1.shape[-2:])
+
+    def warp_body(wi, uv):
+        u, v = uv
         I2w, I2wx, I2wy = _warp3(I2, I2x, I2y, u, v, dmax)
         dif = I1 - I2w + I2wx * u + I2wy * v
         Au = dif * I2wx
@@ -323,66 +347,37 @@ def hs_scale_batched(I1, I2, u, v, dmax, alpha=7.0, warps=10, tol=1e-4,
         Dv = I2wy * I2wy + alpha2
         D = I2wx * I2wy
 
-        if big:
-            # quarter (parity-decomposed) layout once per warp; the
-            # chunked SOR loop stays in that layout (ops/hs_pallas.py)
-            state_q = to_quarters(pad_hw_q(jnp.stack([u, v], axis=1)))
-            const_q = to_quarters(pad_hw_q(
-                jnp.stack([Au, Av, Du, Dv, D], axis=1)))
-            if stop == "error":
-                # reference stopping per sweep, inside the kernel
-                state_q, _, _ = hs_sor_error_quarters(
-                    state_q, const_q, ny, nx, thresh, maxiter, alpha2)
-            else:
-                m = sweep_schedule[min(wi, len(sweep_schedule) - 1)]
-                state_q, _ = hs_sor_quarters(state_q, const_q, ny, nx, m,
-                                             alpha2)
-            uv = from_quarters(state_q)
-            u, v = uv[:, 0, :ny, :nx], uv[:, 1, :ny, :nx]
-        elif stop == "error":
-            colors = _four_colors(I1.shape[-2:])
+        def cond(c):
+            return jnp.any(c[2] > thresh) & (c[3] < caps[wi])
 
-            def cond(c):
-                return jnp.any(c[2] > thresh) & (c[3] < maxiter)
+        def body(c):
+            u, v, err, n = c
+            u_n, v_n, errs = _sor_sweep(u, v, Au, Av, Du, Dv, D, alpha2,
+                                        colors)
+            # per-sample sum (the shared helper returns a global sum
+            # for unbatched use; recompute per sample)
+            new_err = jnp.sum((u_n - u) ** 2 + (v_n - v) ** 2,
+                              axis=(-2, -1))
+            active = err > thresh
+            u = jnp.where(active[:, None, None], u_n, u)
+            v = jnp.where(active[:, None, None], v_n, v)
+            err = jnp.where(active, new_err, err)
+            return u, v, err, n + 1
 
-            def body(c):
-                u, v, err, n = c
-                u_n, v_n, errs = _sor_sweep(u, v, Au, Av, Du, Dv, D, alpha2,
-                                            colors)
-                # per-sample sum (the shared helper returns a global sum
-                # for unbatched use; recompute per sample)
-                new_err = jnp.sum((u_n - u) ** 2 + (v_n - v) ** 2,
-                                  axis=(-2, -1))
-                active = err > thresh
-                u = jnp.where(active[:, None, None], u_n, u)
-                v = jnp.where(active[:, None, None], v_n, v)
-                err = jnp.where(active, new_err, err)
-                return u, v, err, n + 1
+        init = (u, v, jnp.full((B,), jnp.inf, dtype=I1.dtype),
+                jnp.asarray(0, jnp.int32))
+        u, v, _, _ = jax.lax.while_loop(cond, body, init)
+        return u, v
 
-            init = (u, v, jnp.full((B,), jnp.inf, dtype=I1.dtype),
-                    jnp.asarray(0, jnp.int32))
-            u, v, _, _ = jax.lax.while_loop(cond, body, init)
-        else:
-            colors = _four_colors(I1.shape[-2:])
-            m = sweep_schedule[min(wi, len(sweep_schedule) - 1)]
-
-            def fbody(_, c):
-                u, v = c
-                u, v, _ = _sor_sweep(u, v, Au, Av, Du, Dv, D, alpha2,
-                                     colors)
-                return u, v
-
-            u, v = jax.lax.fori_loop(0, m, fbody, (u, v))
+    u, v = jax.lax.fori_loop(0, warps, warp_body, (u, v))
     return u, v
 
 
-def _hs_pyramid(I1, I2, alpha, nscales, zfactor, warps, tol, maxiter,
-                max_motion, stop, level_callback=None, resume=None):
+def _hs_pyramid(I1, I2, alpha, nscales, zfactor, max_motion, thresh_base,
+                caps_all, level_callback=None, resume=None):
     from tpuflow.models.common import run_pyramid_state
 
     B, ny, nx = I1.shape
-    if nscales is None:
-        nscales = clamp_nscales(nx, ny, zfactor, 10, use_hypot=True)
 
     def state_init(size, dtype):
         cnx, cny = size
@@ -392,9 +387,11 @@ def _hs_pyramid(I1, I2, alpha, nscales, zfactor, warps, tol, maxiter,
     def solve(level_images, state, scale):
         dmax = max(3, math.ceil(max_motion * (zfactor ** scale)))
         l1, l2 = level_images
+        cny, cnx = l1.shape[-2:]
+        thresh = thresh_base * (cny * cnx)
         u, v = hs_scale_batched(l1, l2, state["u1"], state["u2"], dmax=dmax,
-                                alpha=alpha, warps=warps, tol=tol,
-                                maxiter=maxiter, stop=stop)
+                                alpha=alpha, thresh=thresh,
+                                caps=caps_all[scale])
         return {"u1": u, "u2": v}
 
     state = run_pyramid_state(
@@ -405,12 +402,33 @@ def _hs_pyramid(I1, I2, alpha, nscales, zfactor, warps, tol, maxiter,
     return state["u1"], state["u2"]
 
 
-@partial(jax.jit, static_argnames=("alpha", "nscales", "zfactor", "warps",
-                                   "tol", "maxiter", "max_motion", "stop"))
-def _hs_batched_jit(I1, I2, alpha, nscales, zfactor, warps, tol, maxiter,
-                    max_motion, stop):
-    return _hs_pyramid(I1, I2, alpha, nscales, zfactor, warps, tol, maxiter,
-                       max_motion, stop)
+@partial(jax.jit, static_argnames=("alpha", "nscales", "zfactor",
+                                   "max_motion"))
+def _hs_batched_jit(I1, I2, alpha, nscales, zfactor, max_motion,
+                    thresh_base, caps_all):
+    return _hs_pyramid(I1, I2, alpha, nscales, zfactor, max_motion,
+                       thresh_base, caps_all)
+
+
+def _hs_mode_scalars(stop, tol, maxiter, warps, nscales, zfactor, ny, nx,
+                     dtype):
+    if stop == "error":
+        thresh_base = jnp.asarray(tol * tol, dtype)
+        caps = jnp.full((nscales, warps), maxiter, jnp.int32)
+    elif stop == "fixed":
+        thresh_base = jnp.asarray(-1.0, dtype)
+        rows = []
+        from tpuflow.ops.pyramid import zoom_size
+        cnx, cny = nx, ny
+        for s in range(nscales):
+            sched = hs_sweep_schedule(cny, cnx)
+            rows.append(sched[:warps] + sched[-1:] * max(0, warps
+                                                         - len(sched)))
+            cnx, cny = zoom_size(cnx, cny, zfactor)
+        caps = jnp.asarray(rows, jnp.int32)
+    else:
+        raise ValueError(f"unknown stop mode {stop!r}")
+    return thresh_base, caps
 
 
 def hs_pyramidal_batched(I1, I2, alpha=7.0, nscales=None, zfactor=0.5,
@@ -419,11 +437,18 @@ def hs_pyramidal_batched(I1, I2, alpha=7.0, nscales=None, zfactor=0.5,
     """Batched multiscale warping Horn-Schunck: (B, H, W) -> (B, H, W).
 
     The second throughput config of BASELINE.md (reference
-    src/horn_schunck_pyramidal.cpp).  Same pyramid/driver design and
-    checkpoint hooks as `tvl1_batched`."""
+    src/horn_schunck_pyramidal.cpp).  Same pyramid/driver design,
+    checkpoint hooks, and one-program-for-both-modes stopping design as
+    `tvl1_batched`."""
+    ny, nx = I1.shape[-2:]
+    if nscales is None:
+        nscales = clamp_nscales(nx, ny, zfactor, 10, use_hypot=True)
+    thresh_base, caps_all = _hs_mode_scalars(
+        stop, tol, maxiter, warps, nscales, zfactor, ny, nx,
+        I1.dtype if hasattr(I1, "dtype") else jnp.float32)
     if level_callback is None and resume is None:
-        return _hs_batched_jit(I1, I2, alpha, nscales, zfactor, warps, tol,
-                               maxiter, max_motion, stop)
-    return _hs_pyramid(I1, I2, alpha, nscales, zfactor, warps, tol, maxiter,
-                       max_motion, stop, level_callback=level_callback,
+        return _hs_batched_jit(I1, I2, alpha, nscales, zfactor, max_motion,
+                               thresh_base, caps_all)
+    return _hs_pyramid(I1, I2, alpha, nscales, zfactor, max_motion,
+                       thresh_base, caps_all, level_callback=level_callback,
                        resume=resume)

@@ -194,6 +194,23 @@ def tvl1_multiscale(I0, I1, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
     if clamp_scales:
         nscales = clamp_nscales(nx, ny, zfactor, nscales, use_hypot=True)
 
+    if (warp_mode == "fast" and stop == "error" and not verbose
+            and not with_diag and level_callback is None and resume is None
+            and I0.ndim == 2):
+        # plain single-pair fast path (the CLI default): route through
+        # the batched engine at B=1 — same algorithm, same per-sample
+        # in-kernel reference stopping, but the round-4 fused kernels
+        # compile in a fraction of the time of the exact-fallback
+        # planes kernel this path used before (VERDICT r3 item 5)
+        from tpuflow.models.batch import tvl1_batched
+
+        u, v = tvl1_batched(I0[None], I1[None], tau=tau, lam=lam,
+                            theta=theta, nscales=nscales, zfactor=zfactor,
+                            stop="error", warps=warps, epsilon=epsilon,
+                            max_iterations=max_iterations,
+                            max_motion=max_motion)
+        return u[0], v[0]
+
     diag = with_diag or verbose
     diags = [None] * nscales
 

@@ -74,14 +74,19 @@ def from_quarters(x):
     return x.reshape(B, P, 2 * Hq, 2 * Wq)
 
 
-def _hs_sor_q_kernel(state_ref, const_ref, out_ref, err_ref, *, n_sweeps,
-                     ny, nx, alpha2, thresh=None, max_iter=None):
-    """`n_sweeps` fixed sweeps, or — when `thresh` is given — sweeps
-    until the last sweep's summed squared update drops to `thresh`
-    (= TOL^2 * size) or `max_iter`, the reference's stopping rule
-    checked after EVERY sweep (src/horn_schunck_pyramidal.cpp:143,230),
-    entirely inside the kernel."""
+def _hs_sor_q_kernel(thresh_ref, maxiter_ref, state_ref, const_ref, out_ref,
+                     err_ref, *, ny, nx, alpha2):
+    """Sweeps until the last sweep's summed squared update drops to
+    `thresh` (= TOL^2 * size) or `max_iter` sweeps, the reference's
+    stopping rule checked after EVERY sweep
+    (src/horn_schunck_pyramidal.cpp:143,230), entirely inside the
+    kernel.  `thresh`/`max_iter` are RUNTIME scalars (SMEM): thresh < 0
+    gives exactly `max_iter` fixed sweeps, and one Mosaic program
+    serves every level's budget in both stopping modes (round-4
+    cold-compile fix)."""
     dtype = out_ref.dtype
+    thresh = thresh_ref[0, 0]
+    max_iter = maxiter_ref[0, 0]
     Hq, Wq = state_ref.shape[2], state_ref.shape[3]
     w = SOR_OMEGA
     c1 = 1.0 / 12.0
@@ -177,24 +182,18 @@ def _hs_sor_q_kernel(state_ref, const_ref, out_ref, err_ref, *, n_sweeps,
 
     u0 = tuple(state_ref[0, k] for k in range(4))
     v0 = tuple(state_ref[0, 4 + k] for k in range(4))
-    if thresh is None:
-        init = (u0, v0, u0, v0)
-        u, v, up, vp = jax.lax.fori_loop(
-            0, n_sweeps, lambda i, c: one_sweep(c), init)
-        err = sweep_err(u, v, up, vp)
-        n = jnp.asarray(n_sweeps, jnp.int32)
-    else:
-        def body(c):
-            u, v, _, n = c
-            u, v, up, vp = one_sweep((u, v, None, None))
-            return u, v, sweep_err(u, v, up, vp), n + 1
 
-        def cond(c):
-            return (c[2] > thresh) & (c[3] < max_iter)
+    def body(c):
+        u, v, _, n = c
+        u, v, up, vp = one_sweep((u, v, None, None))
+        return u, v, sweep_err(u, v, up, vp), n + 1
 
-        init = (u0, v0, jnp.asarray(jnp.inf, dtype),
-                jnp.asarray(0, jnp.int32))
-        u, v, err, n = jax.lax.while_loop(cond, body, init)
+    def cond(c):
+        return (c[2] > thresh) & (c[3] < max_iter)
+
+    init = (u0, v0, jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(0, jnp.int32))
+    u, v, err, n = jax.lax.while_loop(cond, body, init)
     for k in range(4):
         out_ref[0, k] = u[k]
         out_ref[0, 4 + k] = v[k]
@@ -202,16 +201,25 @@ def _hs_sor_q_kernel(state_ref, const_ref, out_ref, err_ref, *, n_sweeps,
     err_ref[0] = jnp.where(ri == 1, n.astype(dtype), err)
 
 
-def _hs_sor_call(state_q, const_q, kern, interpret):
+def _hs_sor_call(state_q, const_q, ny, nx, thresh, max_iter, alpha2,
+                 interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nb, _, Hq, Wq = state_q.shape
     if Hq % 8 or Wq % 128:
         raise ValueError(f"quarter dims must be (8,128)-aligned, got {(Hq, Wq)}")
+    kern = functools.partial(_hs_sor_q_kernel, ny=ny, nx=nx,
+                             alpha2=float(alpha2))
+    thresh = jnp.asarray(thresh, state_q.dtype).reshape(1, 1)
+    max_iter = jnp.asarray(max_iter, jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, Hq, Wq), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 20, Hq, Wq), lambda b: (b, 0, 0, 0),
@@ -230,11 +238,11 @@ def _hs_sor_call(state_q, const_q, kern, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
-    )(state_q, const_q)
+    )(thresh, max_iter, state_q, const_q)
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps", "ny", "nx",
-                                             "alpha2", "interpret"))
+@functools.partial(jax.jit, static_argnames=("ny", "nx", "alpha2",
+                                             "interpret"))
 def hs_sor_quarters(state_q, const_q, ny, nx, n_sweeps, alpha2,
                     interpret=None):
     """Fused SOR chunk on PARITY-DECOMPOSED arrays (throughput path).
@@ -244,15 +252,13 @@ def hs_sor_quarters(state_q, const_q, ny, nx, n_sweeps, alpha2,
     Build these with `to_quarters(pad_hw_q(...))` once per warp and keep
     the state in quarter layout across the whole chunk loop.  Returns
     the quarter-layout state plus the per-sample last-sweep error
-    statistic."""
-    kern = functools.partial(_hs_sor_q_kernel, n_sweeps=n_sweeps, ny=ny,
-                             nx=nx, alpha2=float(alpha2))
-    out, err = _hs_sor_call(state_q, const_q, kern, interpret)
-    return out, err[:, 0, 0]
+    statistic.  Runs exactly `n_sweeps` sweeps (runtime value)."""
+    out, stat = _hs_sor_call(state_q, const_q, ny, nx, -1.0, n_sweeps,
+                             alpha2, interpret)
+    return out, stat[:, 0, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("ny", "nx", "thresh",
-                                             "max_iter", "alpha2",
+@functools.partial(jax.jit, static_argnames=("ny", "nx", "alpha2",
                                              "interpret"))
 def hs_sor_error_quarters(state_q, const_q, ny, nx, thresh, max_iter,
                           alpha2, interpret=None):
@@ -262,15 +268,13 @@ def hs_sor_error_quarters(state_q, const_q, ny, nx, thresh, max_iter,
     (src/horn_schunck_pyramidal.cpp:143,230).  Per-sample exact
     stopping (each sample is its own grid step), one HBM round-trip
     per warp.  Returns (state_q, err, n_sweeps) per sample."""
-    kern = functools.partial(_hs_sor_q_kernel, n_sweeps=0, ny=ny, nx=nx,
-                             alpha2=float(alpha2), thresh=float(thresh),
-                             max_iter=int(max_iter))
-    out, stat = _hs_sor_call(state_q, const_q, kern, interpret)
+    out, stat = _hs_sor_call(state_q, const_q, ny, nx, thresh, max_iter,
+                             alpha2, interpret)
     return out, stat[:, 0, 0], stat[:, 1, 0].astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps", "ny", "nx",
-                                             "alpha2", "interpret"))
+@functools.partial(jax.jit, static_argnames=("ny", "nx", "alpha2",
+                                             "interpret"))
 def hs_sor_padded(state_p, const_p, ny, nx, n_sweeps, alpha2,
                   interpret=None):
     """Compat wrapper on (8,128)-padded interleaved arrays.
@@ -287,7 +291,7 @@ def hs_sor_padded(state_p, const_p, ny, nx, n_sweeps, alpha2,
     return pad_hw(out, Hp, Wp), err
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps", "alpha2", "tile",
+@functools.partial(jax.jit, static_argnames=("alpha2", "tile",
                                              "interpret"))
 def hs_sor_pallas(state, const, n_sweeps, alpha2, tile=None, interpret=None):
     """Run `n_sweeps` 4-color SOR sweeps fused in VMEM.

@@ -58,102 +58,23 @@ def fits_vmem(ny, nx, n_state=6, n_const=4, dtype_bytes=4):
     return planes * hp * wp * dtype_bytes < 100 * 1024 * 1024
 
 
-def _tvl1_iter_kernel(state_ref, const_ref, out_ref, err_ref, *, n_iters,
-                      ny, nx, l_t, theta, taut):
-    dtype = out_ref.dtype
-    Hp, Wp = state_ref.shape[2], state_ref.shape[3]
-    gi = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
-    last_col = gj == nx - 1
-    last_row = gi == ny - 1
-    first_col = gj == 0
-    first_row = gi == 0
-    in_img = (gi < ny) & (gj < nx)
-    zero = jnp.zeros((), dtype)
-
-    iwx = const_ref[0, IWX]
-    iwy = const_ref[0, IWY]
-    rho_c = const_ref[0, RHO_C]
-    grad = const_ref[0, GRAD]
-    fi = -1.0 / jnp.maximum(grad, GRAD_IS_ZERO)
-
-    def shift_left(a):   # a[i, j+1], zero past the rim
-        return jnp.concatenate([a[:, 1:], jnp.zeros((Hp, 1), dtype)], axis=1)
-
-    def shift_right(a):  # a[i, j-1]
-        return jnp.concatenate([jnp.zeros((Hp, 1), dtype), a[:, :-1]], axis=1)
-
-    def shift_up(a):     # a[i+1, j]
-        return jnp.concatenate([a[1:], jnp.zeros((1, Wp), dtype)], axis=0)
-
-    def shift_down(a):   # a[i-1, j]
-        return jnp.concatenate([jnp.zeros((1, Wp), dtype), a[:-1]], axis=0)
-
-    def divergence(pa, pb):
-        a = jnp.where(last_col, zero, pa)
-        bb = jnp.where(last_row, zero, pb)
-        dx = a - jnp.where(first_col, zero, shift_right(a))
-        dy = bb - jnp.where(first_row, zero, shift_down(bb))
-        return dx + dy
-
-    def fgrad(f):
-        fx = jnp.where(last_col, zero, shift_left(f) - f)
-        fy = jnp.where(last_row, zero, shift_up(f) - f)
-        return fx, fy
-
-    def one_iter(c):
-        u1, u2, p11, p12, p21, p22, _, _ = c
-        u1p, u2p = u1, u2
-        rho = rho_c + iwx * u1 + iwy * u2
-        lo = rho < -l_t * grad
-        hi = rho > l_t * grad
-        tiny = grad < GRAD_IS_ZERO
-        mul = jnp.where(lo, l_t, jnp.where(hi, -l_t,
-                        jnp.where(tiny, zero, rho * fi)))
-        v1 = u1 + mul * iwx
-        v2 = u2 + mul * iwy
-
-        u1 = v1 + theta * divergence(p11, p12)
-        u2 = v2 + theta * divergence(p21, p22)
-
-        u1x, u1y = fgrad(u1)
-        u2x, u2y = fgrad(u2)
-        ng1 = 1.0 / (1.0 + taut * jnp.sqrt(u1x * u1x + u1y * u1y))
-        ng2 = 1.0 / (1.0 + taut * jnp.sqrt(u2x * u2x + u2y * u2y))
-        p11 = (p11 + taut * u1x) * ng1
-        p12 = (p12 + taut * u1y) * ng1
-        p21 = (p21 + taut * u2x) * ng2
-        p22 = (p22 + taut * u2y) * ng2
-        return u1, u2, p11, p12, p21, p22, u1p, u2p
-
-    init = (state_ref[0, U1], state_ref[0, U2], state_ref[0, P11],
-            state_ref[0, P12], state_ref[0, P21], state_ref[0, P22],
-            state_ref[0, U1], state_ref[0, U2])
-    c = jax.lax.fori_loop(0, n_iters, lambda i, c: one_iter(c), init)
-    u1, u2, p11, p12, p21, p22, u1p, u2p = c
-    out_ref[0, U1] = u1
-    out_ref[0, U2] = u2
-    out_ref[0, P11] = p11
-    out_ref[0, P12] = p12
-    out_ref[0, P21] = p21
-    out_ref[0, P22] = p22
-    # last-iteration mean-squared-update statistic; padding pixels beyond
-    # the image never move (their grad/rho are zero-pad artifacts but the
-    # mask excludes them anyway)
-    du = jnp.where(in_img, u1 - u1p, zero)
-    dv = jnp.where(in_img, u2 - u2p, zero)
-    err_ref[0] = jnp.full((8, 128), jnp.sum(du * du + dv * dv), dtype)
-
-
-def _tvl1_err_kernel(state_ref, const_ref, out_ref, stat_ref, *, thresh,
-                     max_iter, ny, nx, l_t, theta, taut):
+def _tvl1_kernel(thresh_ref, maxiter_ref, state_ref, const_ref, out_ref,
+                 stat_ref, *, ny, nx, l_t, theta, taut):
     """Whole-warp TV-L1 kernel with the reference's per-iteration
     stopping rule INSIDE the kernel: iterate until the sum of squared
     flow updates drops to `thresh` (= epsilon^2 * size) or `max_iter`
     (reference src/tvl1flow.cpp:113,150-162).  One HBM round-trip per
     warp; each batch sample is its own grid step, so every sample stops
-    at exactly its own iteration — no chunk granularity."""
+    at exactly its own iteration — no chunk granularity.
+
+    `thresh` and `max_iter` are RUNTIME scalars (SMEM), so one Mosaic
+    program serves every pyramid level's iteration budget and both the
+    fixed-schedule (thresh < 0) and error-stopping modes — the round-4
+    cold-compile fix: ~18 kernel variants collapse to one per padded
+    level shape."""
     dtype = out_ref.dtype
+    thresh = thresh_ref[0, 0]
+    max_iter = maxiter_ref[0, 0]
     Hp, Wp = state_ref.shape[2], state_ref.shape[3]
     gi = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
     gj = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
@@ -241,30 +162,28 @@ def _tvl1_err_kernel(state_ref, const_ref, out_ref, stat_ref, *, thresh,
     stat_ref[0] = jnp.where(ri == 1, n.astype(dtype), err)
 
 
-@functools.partial(jax.jit, static_argnames=("thresh", "max_iter", "ny",
-                                             "nx", "l_t", "theta", "taut",
-                                             "interpret"))
-def tvl1_iterate_error_padded(state_p, const_p, ny, nx, thresh, max_iter,
-                              l_t, theta, taut, interpret=None):
-    """Run one warp's full inner fixed point with the reference's
-    data-dependent stopping inside the kernel (see _tvl1_err_kernel).
-
-    state_p: (B, 6, Hp, Wp), const_p: (B, 4, Hp, Wp), (8,128)-aligned.
-    Returns (state_p, err, n_iters) with per-sample (B,) stopping
-    statistics."""
+def _tvl1_call(state_p, const_p, ny, nx, thresh, max_iter, l_t, theta,
+               taut, interpret):
+    """Shared pallas_call for both stopping modes; `thresh`/`max_iter`
+    ride in SMEM so the Mosaic program depends only on the padded
+    shape."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nb, _, Hp, Wp = state_p.shape
     if Hp % 8 or Wp % 128:
         raise ValueError(f"padded dims must be (8,128)-aligned, got {(Hp, Wp)}")
-    kern = functools.partial(_tvl1_err_kernel, thresh=float(thresh),
-                             max_iter=int(max_iter), ny=ny, nx=nx,
-                             l_t=float(l_t), theta=float(theta),
-                             taut=float(taut))
+    kern = functools.partial(_tvl1_kernel, ny=ny, nx=nx, l_t=float(l_t),
+                             theta=float(theta), taut=float(taut))
+    thresh = jnp.asarray(thresh, state_p.dtype).reshape(1, 1)
+    max_iter = jnp.asarray(max_iter, jnp.int32).reshape(1, 1)
     out, stat = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 6, Hp, Wp), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, Hp, Wp), lambda b: (b, 0, 0, 0),
@@ -283,12 +202,27 @@ def tvl1_iterate_error_padded(state_p, const_p, ny, nx, thresh, max_iter,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
-    )(state_p, const_p)
+    )(thresh, max_iter, state_p, const_p)
+    return out, stat
+
+
+@functools.partial(jax.jit, static_argnames=("ny", "nx", "l_t", "theta",
+                                             "taut", "interpret"))
+def tvl1_iterate_error_padded(state_p, const_p, ny, nx, thresh, max_iter,
+                              l_t, theta, taut, interpret=None):
+    """Run one warp's full inner fixed point with the reference's
+    data-dependent stopping inside the kernel (see _tvl1_kernel).
+
+    state_p: (B, 6, Hp, Wp), const_p: (B, 4, Hp, Wp), (8,128)-aligned.
+    Returns (state_p, err, n_iters) with per-sample (B,) stopping
+    statistics."""
+    out, stat = _tvl1_call(state_p, const_p, ny, nx, thresh, max_iter,
+                           l_t, theta, taut, interpret)
     return out, stat[:, 0, 0], stat[:, 1, 0].astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "ny", "nx", "l_t",
-                                             "theta", "taut", "interpret"))
+@functools.partial(jax.jit, static_argnames=("ny", "nx", "l_t", "theta",
+                                             "taut", "interpret"))
 def tvl1_iterate_padded(state_p, const_p, ny, nx, n_iters, l_t, theta, taut,
                         interpret=None):
     """Fused TV-L1 chunk on PRE-PADDED arrays (throughput path).
@@ -297,40 +231,11 @@ def tvl1_iterate_padded(state_p, const_p, ny, nx, n_iters, l_t, theta, taut,
     Wp % 128 == 0; (ny, nx) is the true image size.  Returns
     (state_p, err) with the same padded layout — callers keep state
     padded across chunks of a scale and unpad once at the end, avoiding
-    two extra HBM copies per chunk.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    nb, _, Hp, Wp = state_p.shape
-    if Hp % 8 or Wp % 128:
-        raise ValueError(f"padded dims must be (8,128)-aligned, got {(Hp, Wp)}")
-    kern = functools.partial(_tvl1_iter_kernel, n_iters=n_iters, ny=ny,
-                             nx=nx, l_t=float(l_t), theta=float(theta),
-                             taut=float(taut))
-    out, err = pl.pallas_call(
-        kern,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, 6, Hp, Wp), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, Hp, Wp), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 6, Hp, Wp), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, 6, Hp, Wp), state_p.dtype),
-            jax.ShapeDtypeStruct((nb, 8, 128), state_p.dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT_BYTES),
-        interpret=interpret,
-    )(state_p, const_p)
-    return out, err[:, 0, 0]
+    two extra HBM copies per chunk.  Runs exactly `n_iters` iterations
+    (thresh = -1 disables the in-kernel stop)."""
+    out, stat = _tvl1_call(state_p, const_p, ny, nx, -1.0, n_iters,
+                           l_t, theta, taut, interpret)
+    return out, stat[:, 0, 0]
 
 
 def pad_hw(a, ny=None, nx=None):
@@ -344,7 +249,7 @@ def pad_hw(a, ny=None, nx=None):
     return jnp.pad(a, pad)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "l_t", "theta",
+@functools.partial(jax.jit, static_argnames=("l_t", "theta",
                                              "taut", "tile", "interpret"))
 def tvl1_iterate_pallas(state, const, n_iters, l_t, theta, taut,
                         tile=None, interpret=None):
