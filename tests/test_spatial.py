@@ -78,6 +78,35 @@ def test_robust_expo_spatial_matches_unsharded():
                                atol=1e-8)
 
 
+def test_tvl1occflow_spatial_f32():
+    """The TPU dtype: f32 sharded vs f32 unsharded.  The partitioner
+    may reassociate f32 reductions (parallel/spatial.py docstring), so
+    agreement is asserted at EPE level rather than elementwise
+    bitwise — this is the tolerance story the 4K chip runs rely on."""
+    from tpuflow.models.tvl1occflow import tvl1occflow
+
+    Im1, I0, I1 = (a.astype(jnp.float32) for a in _synth(48, 96, seed=11))
+    u_ref, v_ref, chi_ref = tvl1occflow(Im1, I0, I1, nscales=2,
+                                        warp_mode="fast")
+    u_sh, v_sh, chi_sh = tvl1occflow_spatial(Im1, I0, I1, nscales=2)
+    epe = np.hypot(np.asarray(u_sh - u_ref, np.float64),
+                   np.asarray(v_sh - v_ref, np.float64)).mean()
+    assert epe < 1e-4, epe
+    assert np.mean(np.asarray(chi_sh) != np.asarray(chi_ref)) < 0.01
+
+
+def test_robust_expo_spatial_f32():
+    from tpuflow.models.robust_expo import robust_expo
+
+    _, I0, I1 = (a.astype(jnp.float32) for a in _synth(48, 96, seed=13))
+    u_ref, v_ref = robust_expo(I0, I1, nscales=2, outer_iter=3,
+                               warp_mode="fast")
+    u_sh, v_sh = robust_expo_spatial(I0, I1, nscales=2, outer_iter=3)
+    epe = np.hypot(np.asarray(u_sh - u_ref, np.float64),
+                   np.asarray(v_sh - v_ref, np.float64)).mean()
+    assert epe < 1e-4, epe
+
+
 def test_robust_expo_spatial_df_auto():
     """DF-AUTO's percentile sort is the one global op — the partitioner
     must all-gather for it without changing the result."""

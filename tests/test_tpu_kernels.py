@@ -67,6 +67,54 @@ def test_warp_kernel_fallback_exact(batch):
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(exact))
 
 
+def test_warp_const_kernel_compiled(batch):
+    """Fused warp+constants kernel (round 4) vs constants composed from
+    the planes-mode kernel's output — same warp term order, so only the
+    const-assembly arithmetic differs (ulp-level)."""
+    from tpuflow.ops.hs_pallas import pad_hw_q
+    from tpuflow.ops.tvl1_pallas import pad_hw
+    from tpuflow.ops.warp_pallas import (pick_tile,
+                                         warp_const_pallas_batched,
+                                         warp_planes_pallas_batched)
+
+    planes, u, v = batch
+    I0 = planes[:, 0] + 1.0
+    D = 8
+    w = warp_planes_pallas_batched(planes, u, v, D, tile=(32, 512), rbud=2)
+    I1w, I1wx, I1wy = w[:, 0], w[:, 1], w[:, 2]
+    grad = I1wx * I1wx + I1wy * I1wy
+    rho_c = I1w - I1wx * u - I1wy * v - I0
+    want = pad_hw(jnp.stack([I1wx, I1wy, rho_c, grad], axis=1))
+
+    uv_p = pad_hw(jnp.stack([u, v], axis=1))
+    aux_p = pad_hw(I0)
+    tile = pick_tile(*uv_p.shape[-2:])
+    got, ovf = warp_const_pallas_batched(planes, uv_p, aux_p, D, "tvl1",
+                                         H, W, tile=tile, rbud=2)
+    assert int(np.asarray(ovf).sum()) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3)
+
+    alpha2 = 49.0
+    dif = I0 - I1w + I1wx * u + I1wy * v
+    want_hs = pad_hw_q(jnp.stack(
+        [dif * I1wx, dif * I1wy, I1wx * I1wx + alpha2,
+         I1wy * I1wy + alpha2, I1wx * I1wy], axis=1))
+    uv_q = pad_hw_q(jnp.stack([u, v], axis=1))
+    aux_q = pad_hw_q(I0)
+    tile_q = pick_tile(*uv_q.shape[-2:])
+    got_hs, ovf_hs = warp_const_pallas_batched(
+        planes, uv_q, aux_q, D, "hs", H, W, tile=tile_q, rbud=2,
+        alpha2=alpha2)
+    assert int(np.asarray(ovf_hs).sum()) == 0
+    gh = np.asarray(got_hs)
+    wh_ = np.asarray(want_hs)
+    scale = np.maximum(np.abs(wh_), 1.0)
+    Hq, Wq = gh.shape[-2:]
+    img = (np.arange(Hq)[:, None] < H) & (np.arange(Wq)[None, :] < W)
+    assert (np.abs(gh - wh_) / scale * img).max() < 1e-3
+
+
 def test_tvl1_kernel_compiled(batch):
     from tpuflow.models.tvl1 import _inner_step
     from tpuflow.ops.tvl1_pallas import (pad_hw, tvl1_iterate_error_padded,
@@ -149,6 +197,26 @@ def test_hs_kernel_compiled(batch):
     got_e = from_quarters(out_e)[:, :, :H, :W]
     np.testing.assert_allclose(np.asarray(got_e), np.asarray(got),
                                atol=1e-5)
+
+
+def test_tvl1_fixed_schedule_matches_error_mode():
+    """The calibrated per-size iteration schedule
+    (tools/tvl1_calibration.json; tpuflow.models.batch.tvl1_iter_schedule)
+    lands within EPE 0.05 of the reference-faithful error-stopping mode
+    at the bench geometry."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import synth_pair
+    from tpuflow.models.batch import tvl1_batched
+
+    pairs = [synth_pair(seed=100 + s) for s in range(2)]
+    I0 = jnp.asarray(np.stack([p[0] for p in pairs]), jnp.float32)
+    I1 = jnp.asarray(np.stack([p[1] for p in pairs]), jnp.float32)
+    u_e, v_e = tvl1_batched(I0, I1, stop="error")
+    u_f, v_f = tvl1_batched(I0, I1, stop="fixed")
+    epe = np.hypot(np.asarray(u_f - u_e), np.asarray(v_f - v_e)).mean()
+    assert epe < 0.05, epe
 
 
 def test_hs_fixed_schedule_matches_error_mode():

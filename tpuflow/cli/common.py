@@ -13,7 +13,7 @@ import sys
 
 import numpy as np
 
-from tpuflow.io import read_image, write_flo
+from tpuflow.io import read_image, write_flow
 
 
 class Args:
@@ -54,4 +54,5 @@ def load_pair(path0, path1, dtype=np.float32):
 
 
 def save_flow(outfile, u, v):
-    write_flo(outfile, np.asarray(u), np.asarray(v))
+    # extension dispatch (.uv -> JUV) per reference src/iio.cpp:3655-3675
+    write_flow(outfile, np.asarray(u), np.asarray(v))

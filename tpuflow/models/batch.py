@@ -44,8 +44,31 @@ from tpuflow.ops.warp_pallas import (pick_tile, warp_const_pallas_batched,
                                      warp_planes_pallas_batched)
 
 # per-warp inner-iteration schedule: upper envelope of the reference's
-# observed data-dependent stopping at default params (epsilon=0.01)
+# observed data-dependent stopping at default params (epsilon=0.01);
+# used when the caller pins one schedule for every level
 DEFAULT_ITER_SCHEDULE = (30, 20, 10, 6, 6)
+
+
+def tvl1_iter_schedule(ny, nx):
+    """Per-warp iteration schedule for stop="fixed", calibrated as a
+    1.3x envelope of the reference binary's observed data-dependent
+    stopping iterations at default params (tau=.25 lambda=.15 theta=.3
+    nwarps=5 epsilon=.01) over bench-geometry pairs — raw data in
+    tools/tvl1_calibration.json (tools/calibrate_tvl1.py).  Like the HS
+    analog (hs_sweep_schedule), convergence tracks the LEVEL SIZE:
+    coarse levels iterate longest (their stopping threshold
+    epsilon^2*size is smallest) and fine levels collapse after the
+    first warp."""
+    px = ny * nx
+    if px <= 32 * 64:
+        return (30, 20, 10, 8, 8)
+    if px <= 55 * 128:
+        return (30, 16, 8, 6, 8)
+    if px <= 109 * 256:
+        return (16, 7, 4, 4, 4)
+    if px <= 218 * 512:
+        return (8, 3, 3, 3, 3)
+    return (20, 3, 6, 3, 3)
 PALLAS_MIN_PIXELS = 96 * 96
 # relative-window residual budget / tile for the fused warp kernels
 # (tools/tpu_exp/r3_warpsweep.log: D=8 tile=(32,512) rbud=2 = 497 us/sample)
@@ -204,7 +227,7 @@ def _tvl1_batched_jit(I0, I1, tau, lam, theta, nscales, zfactor,
 
 
 def _tvl1_mode_scalars(stop, epsilon, max_iterations, iter_schedule,
-                       warps, nscales, dtype):
+                       warps, nscales, zfactor, ny, nx, dtype):
     """Map a stopping mode onto the two runtime values that distinguish
     it — the whole point being that BOTH modes share one compiled
     program (the scalars ride through the jit as inputs)."""
@@ -212,17 +235,30 @@ def _tvl1_mode_scalars(stop, epsilon, max_iterations, iter_schedule,
         thresh_base = jnp.asarray(epsilon * epsilon, dtype)
         caps = jnp.full((nscales, warps), max_iterations, jnp.int32)
     elif stop == "fixed":
+        from tpuflow.ops.pyramid import zoom_size
+
         thresh_base = jnp.asarray(-1.0, dtype)
-        caps = jnp.broadcast_to(
-            jnp.asarray(iter_schedule, jnp.int32)[None, :],
-            (nscales, len(iter_schedule))).copy()
+        if iter_schedule is None:
+            # calibrated per-level schedule (tvl1_iter_schedule)
+            rows = []
+            cnx, cny = nx, ny
+            for _ in range(nscales):
+                sched = tvl1_iter_schedule(cny, cnx)
+                rows.append(sched[:warps]
+                            + sched[-1:] * max(0, warps - len(sched)))
+                cnx, cny = zoom_size(cnx, cny, zfactor)
+            caps = jnp.asarray(rows, jnp.int32)
+        else:
+            caps = jnp.broadcast_to(
+                jnp.asarray(iter_schedule, jnp.int32)[None, :],
+                (nscales, len(iter_schedule))).copy()
     else:
         raise ValueError(f"unknown stop mode {stop!r}")
     return thresh_base, caps
 
 
 def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
-                 zfactor=0.5, iter_schedule=DEFAULT_ITER_SCHEDULE,
+                 zfactor=0.5, iter_schedule=None,
                  max_motion=8, stop="error", warps=5, epsilon=0.01,
                  max_iterations=300, level_callback=None, resume=None):
     """Batched multiscale TV-L1: (B, H, W) pairs -> (B, H, W) flows.
@@ -234,8 +270,11 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
     stop="error" (default) reproduces the reference CLI's operating
     point: per-sample data-dependent stopping at epsilon, exact to the
     iteration (inside the fused kernel on big levels).
-    stop="fixed" runs `iter_schedule` per warp — fully static, fastest.
-    Both modes share one compiled program per batch geometry.
+    stop="fixed" runs a fixed per-warp iteration budget: the calibrated
+    per-level-size schedule (`tvl1_iter_schedule`,
+    tools/tvl1_calibration.json) by default, or `iter_schedule`
+    verbatim for every level if given.  Both modes share one compiled
+    program per batch geometry (the budgets are runtime inputs).
 
     `level_callback(scale, state)` / `resume=(scale, state)` enable
     per-level checkpointing; that path runs the pyramid level-by-level
@@ -245,10 +284,11 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
     ny, nx = I0.shape[-2:]
     if nscales is None:
         nscales = clamp_nscales(nx, ny, zfactor, 100, use_hypot=True)
-    if stop == "fixed":
+    if stop == "fixed" and iter_schedule is not None:
         warps = len(iter_schedule)
     thresh_base, caps_all = _tvl1_mode_scalars(
         stop, epsilon, max_iterations, iter_schedule, warps, nscales,
+        zfactor, ny, nx,
         I0.dtype if hasattr(I0, "dtype") else jnp.float32)
     if level_callback is None and resume is None:
         return _tvl1_batched_jit(I0, I1, tau, lam, theta, nscales, zfactor,

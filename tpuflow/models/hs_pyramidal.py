@@ -194,8 +194,12 @@ def hs_pyramidal(I1, I2, alpha=DEFAULT_ALPHA, nscales=DEFAULT_NSCALES,
         # >= 16 px (src/horn_schunck_pyramidal_main.cpp:141-144)
         nscales = clamp_nscales(nx, ny, zfactor, nscales, use_hypot=True)
 
+    def _multi_device(x):
+        s = getattr(x, "sharding", None)
+        return s is not None and getattr(s, "num_devices", 1) > 1
+
     if (warp_mode == "fast" and stop == "error" and not verbose
-            and not with_diag and I1.ndim == 2):
+            and not with_diag and I1.ndim == 2 and not _multi_device(I1)):
         # plain single-pair fast path (the CLI default): the batched
         # engine at B=1 — same reference stopping, round-4 fused
         # kernels, fraction of the cold-compile time (VERDICT r3 item 5)

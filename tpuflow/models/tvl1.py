@@ -194,9 +194,13 @@ def tvl1_multiscale(I0, I1, tau=DEFAULT_TAU, lam=DEFAULT_LAMBDA,
     if clamp_scales:
         nscales = clamp_nscales(nx, ny, zfactor, nscales, use_hypot=True)
 
+    def _multi_device(x):
+        s = getattr(x, "sharding", None)
+        return s is not None and getattr(s, "num_devices", 1) > 1
+
     if (warp_mode == "fast" and stop == "error" and not verbose
             and not with_diag and level_callback is None and resume is None
-            and I0.ndim == 2):
+            and I0.ndim == 2 and not _multi_device(I0)):
         # plain single-pair fast path (the CLI default): route through
         # the batched engine at B=1 — same algorithm, same per-sample
         # in-kernel reference stopping, but the round-4 fused kernels
