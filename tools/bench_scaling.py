@@ -76,6 +76,44 @@ def measure_sharding_overhead(step, make_batch, total_batch):
             "devices": len(devices)}
 
 
+def batch_sweep_tpu(make_batch, Bs=(1, 2, 4, 8, 16, 32)):
+    """Single-chip scaling signal: per-device throughput vs batch size.
+    Real multi-chip DP is pure batch parallelism (independent samples,
+    zero cross-device traffic on the hot path), so per-chip throughput
+    FLATNESS over B is the one scaling property measurable on one chip:
+    a chip at B=16 doing >= ~B/16 x the B=1 rate shows the batch axis
+    scales; N chips then multiply it (the dryrun validates the sharded
+    program compiles+runs)."""
+    import time
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpuflow-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    out = {}
+    for B in Bs:
+        I0, I1 = make_batch(B)
+        I0 = jnp.asarray(I0)
+        I1 = jnp.asarray(I1)
+
+        def run():
+            u, v = tvl1_batched(I0, I1, stop="error")
+            return float(jnp.sum(u))
+
+        run()
+        n = 3 if B >= 16 else 5
+        t0 = time.perf_counter()
+        for _ in range(n):
+            run()
+        dt = (time.perf_counter() - t0) / n
+        out[B] = {"fields_per_sec": round(B / dt, 2),
+                  "ms_per_field": round(dt / B * 1e3, 2)}
+        print(f"B={B}: {out[B]['fields_per_sec']} fields/s "
+              f"({out[B]['ms_per_field']} ms/field)", flush=True)
+    base = out[max(out)]["fields_per_sec"]
+    for B, r in out.items():
+        r["throughput_vs_best"] = round(r["fields_per_sec"] / base, 3)
+    return out
+
+
 def main():
     initialize()  # no-op single-process; pod-slice entry point
     on_tpu = jax.default_backend() == "tpu"
@@ -93,8 +131,30 @@ def main():
     def step(I0, I1):
         return tvl1_batched(I0, I1, stop="fixed", nscales=3)
 
-    results = dp_efficiency(step, make_batch, per_dev)
     physical_cores = os.cpu_count()
+    if on_tpu:
+        # one real chip: the measurable scaling signal is the
+        # batch-size throughput curve (see batch_sweep_tpu); the
+        # multi-device program itself is validated by dryrun_multichip
+        sweep = batch_sweep_tpu(make_batch)
+        artifact = {
+            "backend": "tpu",
+            "devices": len(jax.devices()),
+            "device": str(jax.devices()[0]),
+            "shape": f"{nx}x{ny}",
+            "mode": "error (reference operating point)",
+            "batch_sweep": sweep,
+        }
+        with open(ARTIFACT.replace(".json", "_tpu.json"), "w") as f:
+            json.dump(artifact, f, indent=1)
+            f.write("\n")
+        print("| B | fields/s | ms/field |")
+        print("|---|---|---|")
+        for B, r in sweep.items():
+            print(f"| {B} | {r['fields_per_sec']} | {r['ms_per_field']} |")
+        return
+
+    results = dp_efficiency(step, make_batch, per_dev)
     artifact = {
         "backend": jax.default_backend(),
         "devices": len(jax.devices()),

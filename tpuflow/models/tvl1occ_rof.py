@@ -82,14 +82,39 @@ def rof_box_cell_centered(u, f, p1, p2, g, lam, omega=1.25, n_iter=10):
     has_n = ii > 0
     has_s = ii < ny - 1
     has_e = jj < nx - 1
-    present = jnp.stack([has_w, has_n, has_s, has_e], axis=-1)
+    present = [has_w, has_n, has_s, has_e]
 
-    eye = jnp.eye(4, dtype=dtype)
     # fixed off-diagonal coupling pattern (derivation in module docstring)
-    base = jnp.asarray([[0.0, -1.0, 1.0, 1.0],
-                        [-1.0, 0.0, 1.0, 1.0],
-                        [1.0, 1.0, 0.0, -1.0],
-                        [1.0, 1.0, -1.0, 0.0]], dtype=dtype)
+    BASE = ((0.0, -1.0, 1.0, 1.0),
+            (-1.0, 0.0, 1.0, 1.0),
+            (1.0, 1.0, 0.0, -1.0),
+            (1.0, 1.0, -1.0, 0.0))
+
+    def _solve4(A, b):
+        """Unrolled Gaussian elimination of the per-cell 4x4 systems
+        held as sixteen (H, W) planes + four rhs planes — deliberately
+        NOT a batched (H, W, 4, 4) `linalg.solve`: TPU pads a trailing
+        (4, 4) to the (8, 128) register tile, which turns the system
+        tensor into ~64x its logical size (8.5 GB at 1080p — the
+        round-4 worker-crash bug).  No pivoting needed: diagonals are
+        -2-alfa <= -2 (diagonally dominant) or exactly 1 (masked
+        identity rows)."""
+        A = [list(row) for row in A]
+        b = list(b)
+        for k in range(4):
+            inv = 1.0 / A[k][k]
+            for i in range(k + 1, 4):
+                f = A[i][k] * inv
+                for j in range(k + 1, 4):
+                    A[i][j] = A[i][j] - f * A[k][j]
+                b[i] = b[i] - f * b[k]
+        x = [None] * 4
+        for k in range(3, -1, -1):
+            s = b[k]
+            for j in range(k + 1, 4):
+                s = s - A[k][j] * x[j]
+            x[k] = s / A[k][k]
+        return x
 
     def sweep_color(ph, pv, alfa, mask):
         pW, pE = pv[:, :-1], pv[:, 1:]
@@ -99,7 +124,7 @@ def rof_box_cell_centered(u, f, p1, p2, g, lam, omega=1.25, n_iter=10):
         b1 = jnp.where(has_n, -2.0 - _zshift(alfa, -1, 0), 0.0)
         b2 = jnp.where(has_s, -2.0 - alfa, 0.0)
         b3 = jnp.where(has_e, -2.0 - alfa, 0.0)
-        betas = jnp.stack([b0, b1, b2, b3], axis=-1)
+        betas = [b0, b1, b2, b3]
 
         # neighbor-cell contributions (tv_rof_box.cpp:395-402)
         W = (-_zshift(pW, -1, 1) + _zshift(pS, -1, 1) - _zshift(pN, -1, 1)
@@ -110,18 +135,22 @@ def rof_box_cell_centered(u, f, p1, p2, g, lam, omega=1.25, n_iter=10):
              - F_h[1:])
         E = (-_zshift(pE, 1, 1) - _zshift(pS, 1, 1) + _zshift(pN, 1, 1)
              - F_v[:, 1:])
-        rhs = jnp.stack([W, N, S, E], axis=-1)
-        rhs = jnp.where(present, rhs, 0.0)
+        rhs = [jnp.where(p, r, 0.0)
+               for p, r in zip(present, (W, N, S, E))]
 
         # masked-identity rows pin absent (boundary) edges to 0
-        A = base + betas[..., None] * eye
-        A = jnp.where(present[..., None], A, eye)
-        x = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+        one = jnp.ones((), dtype)
+        zero = jnp.zeros((), dtype)
+        A = [[jnp.where(present[i],
+                        BASE[i][j] + (betas[i] if i == j else zero),
+                        one if i == j else zero)
+              for j in range(4)] for i in range(4)]
+        x = _solve4(A, rhs)
 
-        old = jnp.stack([pW, pN, pS, pE], axis=-1)
+        old = [pW, pN, pS, pE]
         # boundary cells: relaxation of the exact reduced solve (the
         # reference's Cramer special cases, tv_rof_box.cpp:193-607)
-        newp = (1.0 - omega) * old + omega * x
+        newp = [(1.0 - omega) * o + omega * xi for o, xi in zip(old, x)]
 
         # interior cells: the reference chains RELAXED values through
         # the Gauss back-substitution (tv_rof_box.cpp:428-453) — each
@@ -143,20 +172,20 @@ def rof_box_cell_centered(u, f, p1, p2, g, lam, omega=1.25, n_iter=10):
             jnp.where(interior, b1 - a, 1.0)
         pw_ch = (1.0 - omega) * pW + omega * (W + pn_ch - ps_ch - pe_ch) / \
             jnp.where(interior, b0, 1.0)
-        chained = jnp.stack([pw_ch, pn_ch, ps_ch, pe_ch], axis=-1)
-        newp = jnp.where(interior[..., None], chained, newp)
+        chained = [pw_ch, pn_ch, ps_ch, pe_ch]
+        newp = [jnp.where(interior, c, n) for c, n in zip(chained, newp)]
 
         # scatter: same-color cells share no edges, so each edge gets at
         # most one masked write per half-sweep
         m = mask
         ph = jnp.where(jnp.pad(m, ((0, 1), (0, 0))),
-                       jnp.pad(newp[..., 1], ((0, 1), (0, 0))), ph)
+                       jnp.pad(newp[1], ((0, 1), (0, 0))), ph)
         ph = jnp.where(jnp.pad(m, ((1, 0), (0, 0))),
-                       jnp.pad(newp[..., 2], ((1, 0), (0, 0))), ph)
+                       jnp.pad(newp[2], ((1, 0), (0, 0))), ph)
         pv = jnp.where(jnp.pad(m, ((0, 0), (0, 1))),
-                       jnp.pad(newp[..., 0], ((0, 0), (0, 1))), pv)
+                       jnp.pad(newp[0], ((0, 0), (0, 1))), pv)
         pv = jnp.where(jnp.pad(m, ((0, 0), (1, 0))),
-                       jnp.pad(newp[..., 3], ((0, 0), (1, 0))), pv)
+                       jnp.pad(newp[3], ((0, 0), (1, 0))), pv)
         return ph, pv
 
     def body(_, carry):

@@ -26,6 +26,7 @@ calling bicubic_interpolation_warp 3-6 times per warp iteration
 (e.g. src/tvl1flow.cpp:94-96).
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -255,8 +256,38 @@ def warp_planes_shift(planes, u, v, dmax, border_out=True):
         xs = jnp.clip(jnp.arange(nx) + kx, 0, nx - 1)
         return a[:, ys][:, :, xs]
 
-    wys = {ky: axis_weight(cy, rely, ky) for ky in range(-D - 1, D + 3)}
     wxs = {kx: axis_weight(cx, relx, kx) for kx in range(-D - 1, D + 3)}
+
+    if ny * nx >= 512 * 512:
+        # large frames (the 1080p/4K configs): the fully unrolled
+        # (2D+4)^2-term graph makes XLA materialize enough shifted
+        # temps to blow HBM at compile time (~36 GB at 1080p, D=8);
+        # sequence the row-offset axis through lax.scan so only one
+        # ky-slab of temps is live at a time — identical accumulation
+        # order (ky outer, kx inner), bounded memory
+        xs_all = jnp.stack([jnp.clip(jnp.arange(nx) + kx, 0, nx - 1)
+                            for kx in range(-D - 1, D + 3)])
+        wx_all = jnp.stack([wxs[kx] for kx in range(-D - 1, D + 3)])
+
+        def ky_step(acc, ky):
+            wy = axis_weight(cy, rely, ky)
+            ys = jnp.clip(jnp.arange(ny) + ky, 0, ny - 1)
+            sy = planes[:, ys]
+            for kxi in range(2 * D + 4):
+                w = wy * wx_all[kxi]
+                sxy = sy[:, :, xs_all[kxi]]
+                acc = acc + w[None] * sxy
+            return acc, None
+
+        acc, _ = jax.lax.scan(
+            ky_step, jnp.zeros((np_, ny, nx), dtype=dtype),
+            jnp.arange(-D - 1, D + 3))
+        if not border_out:
+            return acc
+        zero = jnp.zeros((), dtype=dtype)
+        return jnp.where(out[None], zero, acc)
+
+    wys = {ky: axis_weight(cy, rely, ky) for ky in range(-D - 1, D + 3)}
 
     acc = [jnp.zeros((ny, nx), dtype=dtype) for _ in range(np_)]
     for ky, wy in wys.items():
