@@ -20,15 +20,15 @@ checked-in artifact tools/baseline_measured.json.
 
 Cold-start design (round 4): both stopping modes of each method share
 one compiled program (runtime stopping scalars), and the two method
-programs are pre-compiled in PARALLEL subprocesses that populate the
-persistent compilation cache before the measuring process compiles —
-the Mosaic kernels inside one XLA program compile serially, but
-separate programs compile concurrently (tools/tpu_exp/r4_mp_compile.py).
+programs are pre-compiled in PARALLEL subprocesses (tpuflow.warmup)
+that populate the persistent compilation cache before the measuring
+process compiles — the Mosaic kernels inside one XLA program compile
+serially, but separate programs compile concurrently
+(tools/tpu_exp/r4_mp_compile.py).
 """
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -85,45 +85,11 @@ def synth_pair(ny=NY, nx=NX, seed=7):
     return base.astype(np.float32), I1.astype(np.float32)
 
 
-def _prewarm(which):
-    """Subprocess entry: AOT-compile one method's program into the
-    persistent cache (no execution, so concurrent prewarmers never
-    contend for the chip)."""
-    _config_jax()
-    import jax.numpy as jnp
-
-    from tpuflow.models import batch as mb
-    from tpuflow.ops import clamp_nscales
-
-    I0 = jnp.zeros((B, NY, NX), jnp.float32)
-    if which == "tvl1":
-        ns = clamp_nscales(NX, NY, 0.5, 100, use_hypot=True)
-        tb, caps = mb._tvl1_mode_scalars(
-            "error", 0.01, 300, mb.DEFAULT_ITER_SCHEDULE, 5, ns,
-            jnp.float32)
-        mb._tvl1_batched_jit.lower(I0, I0, 0.25, 0.15, 0.3, ns, 0.5, 8,
-                                   tb, caps).compile()
-    elif which == "hs":
-        ns = clamp_nscales(NX, NY, 0.5, 10, use_hypot=True)
-        tb, caps = mb._hs_mode_scalars("error", 1e-4, 150, 10, ns, 0.5,
-                                       NY, NX, jnp.float32)
-        mb._hs_batched_jit.lower(I0, I0, 7.0, ns, 0.5, 8, tb,
-                                 caps).compile()
-
-
 def _parallel_prewarm():
-    t0 = time.perf_counter()
-    procs = [subprocess.Popen([sys.executable, __file__, "--prewarm", w],
-                              stdout=subprocess.DEVNULL,
-                              stderr=subprocess.DEVNULL)
-             for w in ("tvl1", "hs")]
-    deadline = time.time() + 300
-    for p in procs:
-        try:
-            p.wait(timeout=max(1, deadline - time.time()))
-        except subprocess.TimeoutExpired:
-            p.kill()
-    print(f"prewarm: {time.perf_counter() - t0:.0f} s", file=sys.stderr)
+    from tpuflow.utils.warmup import warmup
+
+    dt = warmup(geometries=[(B, NY, NX)], timeout=300)
+    print(f"prewarm: {dt:.0f} s", file=sys.stderr)
 
 
 def _time(run, n=5):
@@ -202,7 +168,4 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--prewarm":
-        _prewarm(sys.argv[2])
-    else:
-        main()
+    main()

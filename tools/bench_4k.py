@@ -23,17 +23,35 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_4k.json")
 
 
 def synth_pair3(ny, nx, seed=7):
-    """Three consecutive frames under a smooth flow (for occflow) —
-    same construction as bench.synth_pair, with the middle frame warped
-    both ways."""
-    from bench import synth_pair
+    """Three TEMPORALLY CONSISTENT frames (I_-1, I0, I1) under a smooth
+    analytic flow: I0 is a band-limited random image, I_-1/I1 are its
+    backward/forward bilinear warps — the occflow problem is then
+    well-posed (same construction as bench.synth_pair, both signs)."""
+    rng = np.random.default_rng(seed)
+    noise = rng.standard_normal((ny, nx))
+    fy = np.fft.fftfreq(ny)[:, None]
+    fx = np.fft.fftfreq(nx)[None, :]
+    base = np.real(np.fft.ifft2(np.fft.fft2(noise)
+                                * np.exp(-(fx**2 + fy**2) * 800.0)))
+    base = 128 + 100 * base / np.abs(base).max()
+    u = 2.0 * np.sin(np.linspace(0, 3, nx))[None, :] * np.ones((ny, 1))
+    v = 1.5 * np.cos(np.linspace(0, 2, ny))[:, None] * np.ones((1, nx))
+    yy, xx = np.mgrid[0:ny, 0:nx].astype(np.float64)
 
-    I0, I1 = synth_pair(ny, nx, seed)
-    # third frame: warp I1 by the same (implicit) flow once more — for
-    # benchmarking purposes frame realism only matters for convergence
-    # behavior, not accuracy vs reference (which is measured elsewhere)
-    _, I2 = synth_pair(ny, nx, seed + 1)
-    return I0, I1, I2
+    def warp(sign):
+        sx = np.clip(xx + sign * u, 0, nx - 1)
+        sy = np.clip(yy + sign * v, 0, ny - 1)
+        x0 = np.clip(np.floor(sx).astype(int), 0, nx - 2)
+        y0 = np.clip(np.floor(sy).astype(int), 0, ny - 2)
+        fx_ = sx - x0
+        fy_ = sy - y0
+        return (base[y0, x0] * (1 - fx_) * (1 - fy_)
+                + base[y0, x0 + 1] * fx_ * (1 - fy_)
+                + base[y0 + 1, x0] * (1 - fx_) * fy_
+                + base[y0 + 1, x0 + 1] * fx_ * fy_)
+
+    return (warp(-1).astype(np.float32), base.astype(np.float32),
+            warp(+1).astype(np.float32))
 
 
 def main():
@@ -90,20 +108,39 @@ def main():
         print(json.dumps(cfg), flush=True)
 
     if "--skip-oracle" not in sys.argv:
-        # accuracy: same TPU f32 path vs CPU f64 oracle at reduced size
-        # (the full-size CPU f64 oracle would take hours on 2 vCPUs)
+        # accuracy: same TPU f32 fast-warp path vs a CPU f64 exact-warp
+        # oracle at reduced size (the full-size f64 oracle would take
+        # hours on 2 vCPUs); the oracle runs in a subprocess so x64 can
+        # be enabled cleanly
+        import subprocess
+        import tempfile
+
         ny, nx = 270, 480
         Im1, I0, I1 = synth_pair3(ny, nx)
         u, v, chi = tvl1occflow(*(jnp.asarray(a, jnp.float32)
                                   for a in (Im1, I0, I1)),
                                 warp_mode="fast")
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            uo, vo, chio = tvl1occflow(*(jnp.asarray(a, jnp.float64)
-                                         for a in (Im1, I0, I1)),
-                                       warp_mode="exact")
-        epe = float(np.hypot(np.asarray(u, np.float64) - np.asarray(uo),
-                             np.asarray(v, np.float64) - np.asarray(vo)).mean())
+        with tempfile.TemporaryDirectory() as tmp:
+            fin = os.path.join(tmp, "in.npz")
+            fout = os.path.join(tmp, "out.npz")
+            np.savez(fin, Im1=Im1, I0=I0, I1=I1)
+            code = (
+                "import jax, numpy as np;"
+                "jax.config.update('jax_platforms','cpu');"
+                "jax.config.update('jax_enable_x64',True);"
+                "import jax.numpy as jnp, sys;"
+                f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r});"
+                "from tpuflow.models.tvl1occflow import tvl1occflow;"
+                f"d=np.load({fin!r});"
+                "u,v,chi=tvl1occflow(*(jnp.asarray(d[k],jnp.float64)"
+                " for k in ('Im1','I0','I1')), warp_mode='exact');"
+                f"np.savez({fout!r}, u=np.asarray(u), v=np.asarray(v))")
+            subprocess.run([sys.executable, "-c", code], check=True,
+                           timeout=3000)
+            d = np.load(fout)
+            uo, vo = d["u"], d["v"]
+        epe = float(np.hypot(np.asarray(u, np.float64) - uo,
+                             np.asarray(v, np.float64) - vo).mean())
         results["oracle_check"] = {"size": f"{nx}x{ny}",
                                    "epe_f32_tpu_vs_f64_cpu": round(epe, 5)}
         print(json.dumps(results["oracle_check"]), flush=True)

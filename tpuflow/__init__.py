@@ -24,3 +24,4 @@ Design principles (TPU-first, not a translation):
 __version__ = "0.1.0"
 
 from tpuflow.config import default_dtype
+from tpuflow.utils.warmup import warmup
