@@ -40,7 +40,9 @@ sys.path.insert(0, _ROOT)
 _ARTIFACT = os.path.join(_ROOT, "tools", "baseline_measured.json")
 _CACHE = os.environ.get("TPUFLOW_JAX_CACHE", "/tmp/tpuflow-jax-cache")
 
-B = 16
+# B=32 sits at the flat top of the single-chip batch-throughput curve
+# (tools/scaling_measured_tpu.json: 171.8 fields/s at B=16, 191.0 at 32)
+B = 32
 NY, NX = 436, 1024
 
 
