@@ -9,11 +9,29 @@ working.  `nproc` is accepted for compatibility and ignored (XLA owns
 threading).
 """
 
+import os
 import sys
 
 import numpy as np
 
 from tpuflow.io import read_image, write_flow
+
+
+def _enable_persistent_cache():
+    """CLI runs are one-shot processes: without the persistent
+    compilation cache every invocation would pay the full Mosaic/XLA
+    compile (minutes cold).  Respect an explicit user configuration."""
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("TPUFLOW_JAX_CACHE", "/tmp/tpuflow-jax-cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+_enable_persistent_cache()
 
 
 class Args:
