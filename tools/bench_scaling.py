@@ -50,7 +50,7 @@ def measure_sharding_overhead(step, make_batch, total_batch):
     import time
 
     import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    from jax.sharding import Mesh
 
     from tpuflow.parallel.distributed import _sync, dp_shard
 
