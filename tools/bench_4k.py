@@ -124,6 +124,9 @@ def main():
             fin = os.path.join(tmp, "in.npz")
             fout = os.path.join(tmp, "out.npz")
             np.savez(fin, Im1=Im1, I0=I0, I1=I1)
+            ru, rv = robust_expo(jnp.asarray(I0, jnp.float32),
+                                 jnp.asarray(I1, jnp.float32),
+                                 warp_mode="fast")
             code = (
                 "import jax, numpy as np;"
                 "jax.config.update('jax_platforms','cpu');"
@@ -131,18 +134,26 @@ def main():
                 "import jax.numpy as jnp, sys;"
                 f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r});"
                 "from tpuflow.models.tvl1occflow import tvl1occflow;"
+                "from tpuflow.models.robust_expo import robust_expo;"
                 f"d=np.load({fin!r});"
                 "u,v,chi=tvl1occflow(*(jnp.asarray(d[k],jnp.float64)"
                 " for k in ('Im1','I0','I1')), warp_mode='exact');"
-                f"np.savez({fout!r}, u=np.asarray(u), v=np.asarray(v))")
+                "ru,rv=robust_expo(jnp.asarray(d['I0'],jnp.float64),"
+                " jnp.asarray(d['I1'],jnp.float64), warp_mode='exact');"
+                f"np.savez({fout!r}, u=np.asarray(u), v=np.asarray(v),"
+                " ru=np.asarray(ru), rv=np.asarray(rv))")
             subprocess.run([sys.executable, "-c", code], check=True,
                            timeout=3000)
             d = np.load(fout)
-            uo, vo = d["u"], d["v"]
+            uo, vo, ruo, rvo = d["u"], d["v"], d["ru"], d["rv"]
         epe = float(np.hypot(np.asarray(u, np.float64) - uo,
                              np.asarray(v, np.float64) - vo).mean())
-        results["oracle_check"] = {"size": f"{nx}x{ny}",
-                                   "epe_f32_tpu_vs_f64_cpu": round(epe, 5)}
+        epe_re = float(np.hypot(np.asarray(ru, np.float64) - ruo,
+                                np.asarray(rv, np.float64) - rvo).mean())
+        results["oracle_check"] = {
+            "size": f"{nx}x{ny}",
+            "epe_f32_tpu_vs_f64_cpu": round(epe, 5),
+            "robust_expo_epe_f32_tpu_vs_f64_cpu": round(epe_re, 5)}
         print(json.dumps(results["oracle_check"]), flush=True)
 
     with open(OUT, "w") as f:

@@ -174,11 +174,21 @@ def warp_planes_bounded(planes, u, v, dmax, interpret=None,
     `warp_planes(..., border_out=True)` for |u|inf, |v|inf <= dmax;
     flows beyond the bound produce 0.  border_out=False (tvl1occflow)
     always takes the shift path, whose static shifts also shard cleanly
-    under GSPMD (the spatial-tiling 4K configs)."""
+    under GSPMD (the spatial-tiling 4K configs).
+
+    Uses the kernel's fast_only mode (round 4): no in-kernel exact
+    fallback is compiled (the dmax=8 exact sum alone cost ~90-200 s of
+    Mosaic compile per geometry), at the price of the strict-bound /
+    two-window degradation class — pixels a motion boundary's third
+    displacement cluster leaves uncovered produce 0 for that warp
+    (validated: f32 TPU fast path vs f64 CPU exact oracle EPE ~0.008,
+    tools/bench_4k.json)."""
     from tpuflow.ops.warp_pallas import warp_planes_pallas
 
     if border_out and planes.shape[-2] * planes.shape[-1] >= 96 * 96:
-        return warp_planes_pallas(planes, u, v, dmax, interpret=interpret)
+        return warp_planes_pallas(planes, u, v, dmax, tile=(32, 512),
+                                  interpret=interpret, rbud=2,
+                                  fast_only=True)
     return warp_planes_shift(planes, u, v, dmax, border_out=border_out)
 
 

@@ -89,10 +89,15 @@ def _roll_window(win_ref, n_planes, by, bx):
 
 def _warp_kernel(uv_ref, *rest, dmax, rbud, th, tw, ny, nx, n_planes,
                  mode, alpha2):
-    fused = mode != "planes"
-    if fused:
+    has_aux = mode in ("tvl1", "hs")
+    # fast-only modes never compile the (2D+4)^2 exact fallback: two
+    # end-anchored windows + overflow flag, uncovered pixels -> 0
+    fast_only = mode != "planes"
+    if has_aux:
         aux_ref, planes_ref, out_ref, flag_ref, win_ref, sem = rest
         aux = aux_ref[0]
+    elif fast_only:  # planes_fast
+        planes_ref, out_ref, flag_ref, win_ref, sem = rest
     else:
         planes_ref, out_ref, win_ref, sem = rest
     D = dmax
@@ -117,7 +122,7 @@ def _warp_kernel(uv_ref, *rest, dmax, rbud, th, tw, ny, nx, n_planes,
     u = uv_ref[0, 0]
     v = uv_ref[0, 1]
     zero = jnp.zeros((), dtype=dtype)
-    if fused:
+    if has_aux:
         # fused modes take the flow in PADDED layout whose pad content
         # may be garbage/NaN (HS pad pixels evolve freely in the SOR
         # kernel); zero it so pad pixels are cleanly out-of-domain and
@@ -134,7 +139,7 @@ def _warp_kernel(uv_ref, *rest, dmax, rbud, th, tw, ny, nx, n_planes,
     relx = x0.astype(jnp.int32) - jj
     rely = y0.astype(jnp.int32) - ii
     out_dom = ((xx < 1) | (x0 > nx - 3) | (yy < 1) | (y0 > ny - 3))
-    if fused:
+    if fast_only:
         # strict bound: flow beyond dmax -> 0 (border_out class)
         out_dom = out_dom | (jnp.abs(relx) > D) | (jnp.abs(rely) > D)
 
@@ -163,7 +168,7 @@ def _warp_kernel(uv_ref, *rest, dmax, rbud, th, tw, ny, nx, n_planes,
         src/bicubic_interpolation.cpp:352-374) and assemble the
         requested per-warp constants."""
         accs = [jnp.where(out_dom, zero, a) for a in accs]
-        if mode == "planes":
+        if mode in ("planes", "planes_fast"):
             for p in range(n_planes):
                 out_ref[0, p] = accs[p]
         elif mode == "tvl1":
@@ -186,7 +191,7 @@ def _warp_kernel(uv_ref, *rest, dmax, rbud, th, tw, ny, nx, n_planes,
     R = rbud
     valid = jnp.logical_not(out_dom)
 
-    if not fused:
+    if not fast_only:
         if R is None or R >= D:
             finish(accumulate(D, relx, rely))
             return
@@ -261,14 +266,14 @@ def _warp_kernel(uv_ref, *rest, dmax, rbud, th, tw, ny, nx, n_planes,
 
 
 def warp_planes_pallas(planes, u, v, dmax, tile=(64, 128), interpret=None,
-                       rbud=None):
+                       rbud=None, fast_only=False):
     """Warp (P, H, W) planes by one bounded flow field on the TPU VPU.
 
     Equivalent to warp_planes(..., border_out=True) for
     |u|inf, |v|inf <= dmax; flows beyond the bound yield 0.
     """
     out = warp_planes_pallas_batched(planes[None], u[None], v[None], dmax,
-                                     tile, interpret, rbud)
+                                     tile, interpret, rbud, fast_only)
     return out[0]
 
 
@@ -282,7 +287,8 @@ def _warp_call(planes, uv, aux, dmax, mode, ny, nx, tile, rbud, alpha2,
     overflow flags for fused modes]."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    fused = mode != "planes"
+    has_aux = mode in ("tvl1", "hs")
+    fast_only = mode != "planes"
     nb, n_planes, _, _ = planes.shape
     D = int(dmax)
     rbud = None if rbud is None or rbud >= D else int(rbud)
@@ -314,7 +320,8 @@ def _warp_call(planes, uv, aux, dmax, mode, ny, nx, tile, rbud, alpha2,
     if (hyp, wxp) != (Hg, Wg):
         uv = jnp.pad(uv, ((0, 0), (0, 0), (0, hyp - Hg), (0, wxp - Wg)))
 
-    mode_outs = {"planes": n_planes, "tvl1": 4, "hs": 5}
+    mode_outs = {"planes": n_planes, "planes_fast": n_planes,
+                 "tvl1": 4, "hs": 5}
     n_out = mode_outs[mode]
     kern = functools.partial(_warp_kernel, dmax=D, rbud=rbud, th=th, tw=tw,
                              ny=ny, nx=nx, n_planes=n_planes, mode=mode,
@@ -324,7 +331,7 @@ def _warp_call(planes, uv, aux, dmax, mode, ny, nx, tile, rbud, alpha2,
                      memory_space=pltpu.VMEM),
     ]
     args = [uv]
-    if fused:
+    if has_aux:
         in_specs.append(pl.BlockSpec((1, th, tw), lambda b, i, j: (b, i, j),
                                      memory_space=pltpu.VMEM))
         args.append(aux)
@@ -334,7 +341,7 @@ def _warp_call(planes, uv, aux, dmax, mode, ny, nx, tile, rbud, alpha2,
                              lambda b, i, j: (b, 0, i, j),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((nb, n_out, hyp, wxp), planes.dtype)
-    if fused:
+    if fast_only:
         # SMEM flag block spans the sample's whole (gy, gx) grid (the
         # Mosaic block-mapping rule forbids sub-(8,128) blocks unless
         # they cover the full trailing dims); the kernel writes its own
@@ -362,9 +369,9 @@ def _warp_call(planes, uv, aux, dmax, mode, ny, nx, tile, rbud, alpha2,
 
 
 @functools.partial(jax.jit, static_argnames=("dmax", "tile", "interpret",
-                                             "rbud"))
+                                             "rbud", "fast_only"))
 def warp_planes_pallas_batched(planes, u, v, dmax, tile=(64, 128),
-                               interpret=None, rbud=3):
+                               interpret=None, rbud=3, fast_only=False):
     """Batched bounded warp: (B, P, H, W) planes, (B, H, W) flows.
 
     The batch is a grid dimension, so every (sample, tile) pair
@@ -378,14 +385,25 @@ def warp_planes_pallas_batched(planes, u, v, dmax, tile=(64, 128),
     solvers); tiles that don't fit fall back to the exact sum
     IN-KERNEL, so the result is bit-identical to rbud=None for every
     input.  NOTE: the exact fallback's Mosaic compile time grows
-    steeply with dmax; the bench hot path uses the fused
-    `warp_const_pallas_batched` instead, whose overflow handling lives
-    in the caller.
+    steeply with dmax (~90 s at dmax=8).
+
+    `fast_only=True` compiles NO exact fallback (the round-4 compile-
+    latency mode used by the multiscale solvers on TPU): per tile up to
+    two end-anchored +-rbud windows cover any displacement spread up to
+    4*rbud+1 plus two-cluster motion boundaries; pixels covered by
+    neither window and pixels beyond the dmax bound degrade to 0 — the
+    border_out failure class (the default mode instead inherits the
+    shift path's partial-tap values in the 2-px band past the bound).
     """
     nb, n_planes, ny, nx = planes.shape
     uv = jnp.stack([u, v], axis=1)
-    out = _warp_call(planes, uv, None, dmax, "planes", ny, nx, tile, rbud,
-                     0.0, interpret, out_pad=False)
+    if fast_only:
+        rb = 2 if rbud is None else rbud
+        out, _ = _warp_call(planes, uv, None, dmax, "planes_fast", ny, nx,
+                            tile, rb, 0.0, interpret, out_pad=False)
+    else:
+        out = _warp_call(planes, uv, None, dmax, "planes", ny, nx, tile,
+                         rbud, 0.0, interpret, out_pad=False)
     return out[:, :, :ny, :nx]
 
 
