@@ -76,6 +76,21 @@ def test_warp_kernel_fallback_exact(batch):
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(exact))
 
 
+def test_warp_fast_only_mode_compiled(batch):
+    """fast_only planes mode (the multiscale solvers' TPU warp):
+    identical to the exact-fallback planes kernel wherever the flow is
+    window-covered — which the smooth bench flow is everywhere."""
+    from tpuflow.ops.warp_pallas import warp_planes_pallas_batched
+
+    planes, u, v = batch
+    ref = warp_planes_pallas_batched(planes, u, v, D_PLANES,
+                                     tile=(32, 512), rbud=2)
+    got = warp_planes_pallas_batched(planes, u, v, D_PLANES,
+                                     tile=(32, 512), rbud=2,
+                                     fast_only=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_warp_const_kernel_compiled(batch):
     """Fused warp+constants kernel (round 4) vs constants composed from
     the planes-mode kernel's output — same warp term order, so only the
