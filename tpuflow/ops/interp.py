@@ -186,8 +186,11 @@ def warp_planes_bounded(planes, u, v, dmax, interpret=None,
     from tpuflow.ops.warp_pallas import warp_planes_pallas
 
     if border_out and planes.shape[-2] * planes.shape[-1] >= 96 * 96:
+        # rbud=3 measured best end-to-end (tools/tpu_exp/r4_occ_rbud.py):
+        # wider windows leave fewer degraded pixels, which buys back
+        # outer-loop iterations in the alternating solvers
         return warp_planes_pallas(planes, u, v, dmax, tile=(32, 512),
-                                  interpret=interpret, rbud=2,
+                                  interpret=interpret, rbud=3,
                                   fast_only=True)
     return warp_planes_shift(planes, u, v, dmax, border_out=border_out)
 
