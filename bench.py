@@ -38,7 +38,6 @@ _ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _ROOT)
 
 _ARTIFACT = os.path.join(_ROOT, "tools", "baseline_measured.json")
-_CACHE = os.environ.get("TPUFLOW_JAX_CACHE", "/tmp/tpuflow-jax-cache")
 
 # B=32 sits at the flat top of the single-chip batch-throughput curve
 # (tools/scaling_measured_tpu.json: 171.8 fields/s at B=16, 191.0 at 32)
@@ -49,8 +48,9 @@ NY, NX = 436, 1024
 def _config_jax():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from tpuflow.utils.cache import configure_cache
+
+    configure_cache()
     return jax
 
 

@@ -33,7 +33,9 @@ if not TPU_MODE:
     # persistent compile cache: repeat test runs skip XLA compilation
     jax.config.update("jax_compilation_cache_dir", "/tmp/tpuflow-jax-cache-cpu")
 else:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpuflow-jax-cache")
+    from tpuflow.utils.cache import default_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", default_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np

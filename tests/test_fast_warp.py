@@ -58,3 +58,46 @@ def test_pallas_warp_f32():
     b = warp_planes_pallas(I, u, v, 3, tile=(8, 128))
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-5,
                                atol=2e-3)
+
+
+def test_bounded_warp_overflow_flag_surfaces():
+    """The fast-only two-window kernel flags tiles whose displacement
+    spread exceeds its coverage; `with_overflow` must surface a nonzero
+    count for 3-cluster content (the silent-degradation class of
+    ADVICE r4) and zero for smooth flows."""
+    from tpuflow.ops.interp import warp_planes_bounded
+
+    ny, nx = 96, 128
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.standard_normal((1, ny, nx)), jnp.float32)
+    # three displacement clusters, spread >> 4*rbud+1 for dmax=8:
+    # thirds of the tile at -8, 0, +8 pixels
+    u = np.zeros((ny, nx), np.float32)
+    u[:, : nx // 3] = -8.0
+    u[:, 2 * nx // 3:] = 8.0
+    zero = jnp.zeros((ny, nx), jnp.float32)
+    _, oflow = warp_planes_bounded(img, jnp.asarray(u), zero, 8,
+                                   with_overflow=True, rbud=1)
+    assert int(oflow) > 0
+    _, oflow_smooth = warp_planes_bounded(img, zero, zero, 8,
+                                          with_overflow=True, rbud=1)
+    assert int(oflow_smooth) == 0
+
+
+def test_batched_stats_surface():
+    """tvl1_batched/hs_pyramidal_batched expose the aggregated
+    warp-degradation count via with_stats (zero for smooth synthetic
+    flows on the CPU small-level path)."""
+    from tpuflow.models.batch import hs_pyramidal_batched, tvl1_batched
+
+    rng = np.random.default_rng(11)
+    I0 = jnp.asarray(rng.standard_normal((1, 40, 56)) * 50 + 128,
+                     jnp.float32)
+    I1 = jnp.roll(I0, 1, axis=-1)
+    u, v, stats = tvl1_batched(I0, I1, nscales=2, with_stats=True)
+    assert int(stats["warp_overflow_tiles"]) == 0
+    assert u.shape == I0.shape
+    u, v, stats = hs_pyramidal_batched(I0, I1, nscales=2, with_stats=True,
+                                       warp_early_exit=False)
+    assert int(stats["warp_overflow_tiles"]) == 0
+    assert v.shape == I0.shape

@@ -62,3 +62,36 @@ def test_write_flow_extension_dispatch(tmp_path):
         ru, rv = read_flow(p)
         np.testing.assert_array_equal(ru, u)
         np.testing.assert_array_equal(rv, v)
+
+
+REF_FIXTURE = "/root/reference/3rdparty/tvl1flow_3/uv.flo"
+
+
+def test_reference_flo_fixture(tmp_path):
+    """End-to-end codec parity against bytes the reference itself wrote.
+
+    `3rdparty/tvl1flow_3/uv.flo` is the one reference-produced binary
+    artifact in the upstream repo (256x256 Middlebury flow, PIEH magic,
+    524,300 bytes = 12 + 256*256*2*4).  Reading it through `read_flo`
+    and re-encoding through `write_flo` must reproduce the file
+    byte-exactly."""
+    import os
+
+    import pytest
+
+    if not os.path.exists(REF_FIXTURE):
+        pytest.skip("reference checkout not mounted")
+    raw = open(REF_FIXTURE, "rb").read()
+    assert len(raw) == 524300
+    assert raw[:4] == b"PIEH"
+    u, v = read_flo(REF_FIXTURE)
+    assert u.shape == v.shape == (256, 256)
+    assert u.dtype == v.dtype == np.float32
+    assert np.isfinite(u).all() and np.isfinite(v).all()
+    # plausible dense-flow magnitudes, not constants
+    mag = np.hypot(u, v)
+    assert 0.0 < float(mag.mean()) < 50.0
+    assert float(u.std()) > 0 and float(v.std()) > 0
+    p = str(tmp_path / "reencode.flo")
+    write_flo(p, u, v)
+    assert open(p, "rb").read() == raw

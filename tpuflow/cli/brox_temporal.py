@@ -13,7 +13,7 @@ import sys
 import jax.numpy as jnp
 import numpy as np
 
-from tpuflow.cli.common import Args, clamp
+from tpuflow.cli.common import Args, clamp, enable_persistent_cache
 from tpuflow.io import read_image, write_flo
 from tpuflow.models.brox_temporal import (
     DEFAULT_ALPHA,
@@ -28,6 +28,7 @@ from tpuflow.models.brox_temporal import (
 
 
 def main(argv=None):
+    enable_persistent_cache()
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 2:
         print("Usage: brox_temporal nimages I1...In [alpha gamma nscales "

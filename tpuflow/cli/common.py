@@ -9,7 +9,6 @@ working.  `nproc` is accepted for compatibility and ignored (XLA owns
 threading).
 """
 
-import os
 import sys
 
 import numpy as np
@@ -17,21 +16,16 @@ import numpy as np
 from tpuflow.io import read_image, write_flow
 
 
-def _enable_persistent_cache():
+def enable_persistent_cache():
     """CLI runs are one-shot processes: without the persistent
     compilation cache every invocation would pay the full Mosaic/XLA
-    compile (minutes cold).  Respect an explicit user configuration."""
-    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        return
-    import jax
+    compile (minutes cold).  Called by each CLI `main()` (NOT at import
+    time, so importing this module has no global side effects); the
+    cache dir is per-user with owner-only permissions — see
+    tpuflow.utils.cache."""
+    from tpuflow.utils.cache import configure_cache
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("TPUFLOW_JAX_CACHE", "/tmp/tpuflow-jax-cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-
-_enable_persistent_cache()
+    configure_cache()
 
 
 class Args:

@@ -8,11 +8,12 @@ import sys
 
 import jax.numpy as jnp
 
-from tpuflow.cli.common import load_pair, save_flow
+from tpuflow.cli.common import enable_persistent_cache, load_pair, save_flow
 from tpuflow.models.hs_classic import hs_classic_jit
 
 
 def main(argv=None):
+    enable_persistent_cache()
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) != 5:
         print("usage:\n\thorn_schunck_classic niter alpha a b f", file=sys.stderr)

@@ -9,7 +9,7 @@ import sys
 
 import jax.numpy as jnp
 
-from tpuflow.cli.common import Args, clamp, load_pair, save_flow
+from tpuflow.cli.common import Args, clamp, enable_persistent_cache, load_pair, save_flow
 from tpuflow.models.hs_pyramidal import (
     DEFAULT_ALPHA,
     DEFAULT_MAXITER,
@@ -22,6 +22,7 @@ from tpuflow.models.hs_pyramidal import (
 
 
 def main(argv=None):
+    enable_persistent_cache()
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 2:
         print("Usage: horn_schunck_pyramidal I1 I2 [out nproc alpha nscales "

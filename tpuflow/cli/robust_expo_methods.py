@@ -13,7 +13,7 @@ import sys
 import jax.numpy as jnp
 import numpy as np
 
-from tpuflow.cli.common import Args, clamp, save_flow
+from tpuflow.cli.common import Args, clamp, enable_persistent_cache, save_flow
 from tpuflow.io import read_image
 from tpuflow.models.robust_expo import (
     DEFAULT_ALPHA,
@@ -30,6 +30,7 @@ from tpuflow.models.robust_expo import (
 
 
 def main(argv=None):
+    enable_persistent_cache()
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 2:
         print("Usage: robust_expo_methods I1 I2 [out_file processors "

@@ -13,7 +13,7 @@ import sys
 import jax.numpy as jnp
 import numpy as np
 
-from tpuflow.cli.common import Args, clamp, save_flow
+from tpuflow.cli.common import Args, clamp, enable_persistent_cache, save_flow
 from tpuflow.io import read_image, write_image
 from tpuflow.models.tvl1occflow import (
     DEFAULT_ALPHA,
@@ -29,6 +29,7 @@ from tpuflow.models.tvl1occflow import (
 
 
 def main(argv=None):
+    enable_persistent_cache()
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 3:
         print("Usage: tvl1occflow I_1 I0 I1 [I0_Smoothed out outOcc nproc "

@@ -119,7 +119,13 @@ def tvl1_scale_batched(I0, I1, u1, u2, dmax, tau, lam, theta, thresh, caps):
     disables stopping so each warp runs exactly its cap.  `caps` is a
     (warps,) int32 array of per-warp iteration caps.  Big levels run
     each warp as warp-constants kernel + whole-level-in-VMEM iteration
-    kernel (one HBM round-trip each)."""
+    kernel (one HBM round-trip each).
+
+    Returns (u1, u2, oflow): `oflow` is the int32 count of warp tiles
+    whose residual displacements exceeded the fused kernel's two-window
+    budget (their uncovered pixels degraded to 0 for that warp — the
+    accepted-degradation class documented in
+    tpuflow.ops.warp_pallas); always 0 on the small-level path."""
     l_t = lam * theta
     taut = tau / theta
     ny, nx = I0.shape[-2:]
@@ -137,17 +143,19 @@ def tvl1_scale_batched(I0, I1, u1, u2, dmax, tau, lam, theta, thresh, caps):
         Hp, Wp = state_p.shape[-2:]
         tile = pick_tile(Hp, Wp, WARP_TILE)
 
-        def warp_body(wi, state_p):
-            const_p, _ = warp_const_pallas_batched(
+        def warp_body(wi, carry):
+            state_p, oflow = carry
+            const_p, flags = warp_const_pallas_batched(
                 I1s, state_p[:, :2], aux_p, dmax, "tvl1", ny, nx,
                 tile=tile, rbud=WARP_RBUD)
             state_p, _, _ = tvl1_iterate_error_padded(
                 state_p, const_p, ny, nx, thresh, caps[wi], l_t, theta,
                 taut)
-            return state_p
+            return state_p, oflow + jnp.sum(flags, dtype=jnp.int32)
 
-        state_p = jax.lax.fori_loop(0, warps, warp_body, state_p)
-        return state_p[:, 0, :ny, :nx], state_p[:, 1, :ny, :nx]
+        state_p, oflow = jax.lax.fori_loop(
+            0, warps, warp_body, (state_p, jnp.zeros((), jnp.int32)))
+        return state_p[:, 0, :ny, :nx], state_p[:, 1, :ny, :nx], oflow
 
     def warp_body(wi, state):
         u1, u2 = state[:, 0], state[:, 1]
@@ -179,7 +187,7 @@ def tvl1_scale_batched(I0, I1, u1, u2, dmax, tau, lam, theta, thresh, caps):
         return state
 
     state = jax.lax.fori_loop(0, warps, warp_body, state)
-    return state[:, 0], state[:, 1]
+    return state[:, 0], state[:, 1], jnp.zeros((), jnp.int32)
 
 
 def _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor, max_motion,
@@ -197,25 +205,26 @@ def _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor, max_motion,
     def state_init(size, dtype):
         cnx, cny = size
         z = jnp.zeros((B, cny, cnx), dtype=dtype)
-        return {"u1": z, "u2": z}
+        return {"u1": z, "u2": z, "oflow": jnp.zeros((), jnp.int32)}
 
     def solve(level_images, state, scale):
         dmax = max(3, math.ceil(max_motion * (zfactor ** scale)))
         l0, l1 = level_images
         cny, cnx = l0.shape[-2:]
         thresh = thresh_base * (cny * cnx)
-        u1, u2 = tvl1_scale_batched(l0, l1, state["u1"], state["u2"],
-                                    dmax=dmax, tau=tau, lam=lam,
-                                    theta=theta, thresh=thresh,
-                                    caps=caps_all[scale])
-        return {"u1": u1, "u2": u2}
+        u1, u2, oflow = tvl1_scale_batched(l0, l1, state["u1"], state["u2"],
+                                           dmax=dmax, tau=tau, lam=lam,
+                                           theta=theta, thresh=thresh,
+                                           caps=caps_all[scale])
+        prev = state.get("oflow", jnp.zeros((), jnp.int32))  # resume compat
+        return {"u1": u1, "u2": u2, "oflow": prev + oflow}
 
     state = run_pyramid_state(
         (I0, I1), nscales, zfactor, solve, presmooth=0.8,
         preprocess=lambda ims: _normalize_pair_batched(*ims),
         state_init=state_init, level_callback=level_callback,
         resume=resume, trace_name="tvl1_batched")
-    return state["u1"], state["u2"]
+    return state["u1"], state["u2"], state["oflow"]
 
 
 @partial(jax.jit, static_argnames=("tau", "lam", "theta", "nscales",
@@ -260,7 +269,8 @@ def _tvl1_mode_scalars(stop, epsilon, max_iterations, iter_schedule,
 def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
                  zfactor=0.5, iter_schedule=None,
                  max_motion=8, stop="error", warps=5, epsilon=0.01,
-                 max_iterations=300, level_callback=None, resume=None):
+                 max_iterations=300, level_callback=None, resume=None,
+                 with_stats=False):
     """Batched multiscale TV-L1: (B, H, W) pairs -> (B, H, W) flows.
 
     One jit covers the whole pyramid (static level shapes), so a call is
@@ -280,6 +290,13 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
     per-level checkpointing; that path runs the pyramid level-by-level
     on the host (each level's solve still compiled) so flows are
     materialized between levels.
+
+    `with_stats=True` returns (u1, u2, stats) where
+    stats["warp_overflow_tiles"] counts warp tiles (summed over the
+    batch, all warps, all levels) whose displacements exceeded the
+    fused warp kernel's two-window budget and partially degraded to 0
+    (tpuflow.ops.warp_pallas) — the diagnostic for real multi-motion
+    content beyond the kernel's coverage class.
     """
     ny, nx = I0.shape[-2:]
     if nscales is None:
@@ -291,11 +308,18 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
         zfactor, ny, nx,
         I0.dtype if hasattr(I0, "dtype") else jnp.float32)
     if level_callback is None and resume is None:
-        return _tvl1_batched_jit(I0, I1, tau, lam, theta, nscales, zfactor,
-                                 max_motion, thresh_base, caps_all)
-    return _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor,
-                         max_motion, thresh_base, caps_all,
-                         level_callback=level_callback, resume=resume)
+        u1, u2, oflow = _tvl1_batched_jit(I0, I1, tau, lam, theta, nscales,
+                                          zfactor, max_motion, thresh_base,
+                                          caps_all)
+    else:
+        u1, u2, oflow = _tvl1_pyramid(I0, I1, tau, lam, theta, nscales,
+                                      zfactor, max_motion, thresh_base,
+                                      caps_all,
+                                      level_callback=level_callback,
+                                      resume=resume)
+    if with_stats:
+        return u1, u2, {"warp_overflow_tiles": oflow}
+    return u1, u2
 
 
 def hs_sweep_schedule(ny, nx):
@@ -316,7 +340,7 @@ def hs_sweep_schedule(ny, nx):
     return (73, 12, 6, 4, 4, 3, 3, 4, 4, 4)
 
 
-def hs_scale_batched(I1, I2, u, v, dmax, alpha, thresh, caps):
+def hs_scale_batched(I1, I2, u, v, dmax, alpha, thresh, caps, ee=None):
     """Batched single-scale warping Horn-Schunck.
 
     `thresh` (runtime scalar) = TOL^2 * size
@@ -327,12 +351,18 @@ def hs_scale_batched(I1, I2, u, v, dmax, alpha, thresh, caps):
     Big levels run the whole warp loop as a lax while_loop over TWO
     fused kernels per warp — warp+constants (warp_const_pallas_batched)
     and the in-VMEM quarter-plane SOR — with the state held in quarter
-    layout across the level.  When stopping is enabled the warp loop
-    EXITS EARLY once a warp's SOR converges within 2 sweeps for every
-    sample: the reference's own operating data
+    layout across the level.  `ee` (runtime int32 scalar, default 2)
+    is the warp-level early-exit sweep threshold: when stopping is
+    enabled the warp loop exits once a warp's SOR converges within
+    `ee` sweeps for every sample — the reference's own operating data
     (tools/hs_calibration.json) shows late warps converging in 1-4
     sweeps, at which point the remaining warps are numerical no-ops
     (EPE-validated vs the reference binary in the TPU test lane).
+    ee <= 0 disables the exit (strictly reference-faithful: all warps
+    always run).
+
+    Returns (u, v, oflow); `oflow` counts two-window-degraded warp
+    tiles as in tvl1_scale_batched.
 
     Reference per-warp system constants:
     src/horn_schunck_pyramidal.cpp:128-137."""
@@ -346,6 +376,8 @@ def hs_scale_batched(I1, I2, u, v, dmax, alpha, thresh, caps):
     big = _use_fused(I1.shape)
     I2x, I2y = centered_gradient(I2)
     B = I1.shape[0]
+    if ee is None:
+        ee = jnp.asarray(2, jnp.int32)
 
     if big:
         I2s = jnp.stack([I2, I2x, I2y], axis=1)
@@ -358,22 +390,22 @@ def hs_scale_batched(I1, I2, u, v, dmax, alpha, thresh, caps):
             return (c[1] < warps) & jnp.logical_not(c[2])
 
         def body(c):
-            state_q, wi, _ = c
+            state_q, wi, _, oflow = c
             uv_p = from_quarters(state_q)
-            const_p, _ = warp_const_pallas_batched(
+            const_p, flags = warp_const_pallas_batched(
                 I2s, uv_p, aux_p, dmax, "hs", ny, nx, tile=tile,
                 rbud=WARP_RBUD, alpha2=alpha2)
             const_q = to_quarters(const_p)
             state_q, _, n = hs_sor_error_quarters(
                 state_q, const_q, ny, nx, thresh, caps[wi], alpha2)
-            done = (jnp.max(n) <= 2) & (thresh > 0)
-            return state_q, wi + 1, done
+            done = (jnp.max(n) <= ee) & (thresh > 0) & (ee > 0)
+            return state_q, wi + 1, done, oflow + jnp.sum(flags, dtype=jnp.int32)
 
-        state_q, _, _ = jax.lax.while_loop(
+        state_q, _, _, oflow = jax.lax.while_loop(
             cond, body, (state_q, jnp.asarray(0, jnp.int32),
-                         jnp.asarray(False)))
+                         jnp.asarray(False), jnp.zeros((), jnp.int32)))
         uv = from_quarters(state_q)
-        return uv[:, 0, :ny, :nx], uv[:, 1, :ny, :nx]
+        return uv[:, 0, :ny, :nx], uv[:, 1, :ny, :nx], oflow
 
     colors = _four_colors(I1.shape[-2:])
 
@@ -410,11 +442,11 @@ def hs_scale_batched(I1, I2, u, v, dmax, alpha, thresh, caps):
         return u, v
 
     u, v = jax.lax.fori_loop(0, warps, warp_body, (u, v))
-    return u, v
+    return u, v, jnp.zeros((), jnp.int32)
 
 
 def _hs_pyramid(I1, I2, alpha, nscales, zfactor, max_motion, thresh_base,
-                caps_all, level_callback=None, resume=None):
+                caps_all, ee, level_callback=None, resume=None):
     from tpuflow.models.common import run_pyramid_state
 
     B, ny, nx = I1.shape
@@ -422,32 +454,34 @@ def _hs_pyramid(I1, I2, alpha, nscales, zfactor, max_motion, thresh_base,
     def state_init(size, dtype):
         cnx, cny = size
         z = jnp.zeros((B, cny, cnx), dtype=dtype)
-        return {"u1": z, "u2": z}
+        return {"u1": z, "u2": z, "oflow": jnp.zeros((), jnp.int32)}
 
     def solve(level_images, state, scale):
         dmax = max(3, math.ceil(max_motion * (zfactor ** scale)))
         l1, l2 = level_images
         cny, cnx = l1.shape[-2:]
         thresh = thresh_base * (cny * cnx)
-        u, v = hs_scale_batched(l1, l2, state["u1"], state["u2"], dmax=dmax,
-                                alpha=alpha, thresh=thresh,
-                                caps=caps_all[scale])
-        return {"u1": u, "u2": v}
+        u, v, oflow = hs_scale_batched(l1, l2, state["u1"], state["u2"],
+                                       dmax=dmax, alpha=alpha,
+                                       thresh=thresh, caps=caps_all[scale],
+                                       ee=ee)
+        prev = state.get("oflow", jnp.zeros((), jnp.int32))  # resume compat
+        return {"u1": u, "u2": v, "oflow": prev + oflow}
 
     state = run_pyramid_state(
         (I1, I2), nscales, zfactor, solve, presmooth=0.8,
         preprocess=lambda ims: _normalize_pair_batched(*ims),
         state_init=state_init, level_callback=level_callback,
         resume=resume, trace_name="hs_batched")
-    return state["u1"], state["u2"]
+    return state["u1"], state["u2"], state["oflow"]
 
 
 @partial(jax.jit, static_argnames=("alpha", "nscales", "zfactor",
                                    "max_motion"))
 def _hs_batched_jit(I1, I2, alpha, nscales, zfactor, max_motion,
-                    thresh_base, caps_all):
+                    thresh_base, caps_all, ee):
     return _hs_pyramid(I1, I2, alpha, nscales, zfactor, max_motion,
-                       thresh_base, caps_all)
+                       thresh_base, caps_all, ee)
 
 
 def _hs_mode_scalars(stop, tol, maxiter, warps, nscales, zfactor, ny, nx,
@@ -473,22 +507,42 @@ def _hs_mode_scalars(stop, tol, maxiter, warps, nscales, zfactor, ny, nx,
 
 def hs_pyramidal_batched(I1, I2, alpha=7.0, nscales=None, zfactor=0.5,
                          warps=10, tol=1e-4, maxiter=150, max_motion=8,
-                         stop="error", level_callback=None, resume=None):
+                         stop="error", level_callback=None, resume=None,
+                         warp_early_exit=True, with_stats=False):
     """Batched multiscale warping Horn-Schunck: (B, H, W) -> (B, H, W).
 
     The second throughput config of BASELINE.md (reference
     src/horn_schunck_pyramidal.cpp).  Same pyramid/driver design,
     checkpoint hooks, and one-program-for-both-modes stopping design as
-    `tvl1_batched`."""
+    `tvl1_batched`.
+
+    DELIBERATE DEVIATION (default on): in stop="error" mode the warp
+    loop exits early once a warp's SOR converges within 2 sweeps for
+    every sample, whereas the reference always runs all `warps` warps
+    (src/horn_schunck_pyramidal.cpp:111-240).  The remaining warps are
+    numerical no-ops at the reference's operating points
+    (EPE-validated; tools/hs_calibration.json shows late warps
+    converging in 1-4 sweeps).  Pass `warp_early_exit=False` for the
+    strictly reference-faithful schedule — it is a runtime scalar, so
+    toggling never recompiles.
+
+    `with_stats=True` returns (u, v, stats) with
+    stats["warp_overflow_tiles"] as in `tvl1_batched`."""
     ny, nx = I1.shape[-2:]
     if nscales is None:
         nscales = clamp_nscales(nx, ny, zfactor, 10, use_hypot=True)
     thresh_base, caps_all = _hs_mode_scalars(
         stop, tol, maxiter, warps, nscales, zfactor, ny, nx,
         I1.dtype if hasattr(I1, "dtype") else jnp.float32)
+    ee = jnp.asarray(2 if warp_early_exit else 0, jnp.int32)
     if level_callback is None and resume is None:
-        return _hs_batched_jit(I1, I2, alpha, nscales, zfactor, max_motion,
-                               thresh_base, caps_all)
-    return _hs_pyramid(I1, I2, alpha, nscales, zfactor, max_motion,
-                       thresh_base, caps_all, level_callback=level_callback,
-                       resume=resume)
+        u, v, oflow = _hs_batched_jit(I1, I2, alpha, nscales, zfactor,
+                                      max_motion, thresh_base, caps_all, ee)
+    else:
+        u, v, oflow = _hs_pyramid(I1, I2, alpha, nscales, zfactor,
+                                  max_motion, thresh_base, caps_all, ee,
+                                  level_callback=level_callback,
+                                  resume=resume)
+    if with_stats:
+        return u, v, {"warp_overflow_tiles": oflow}
+    return u, v

@@ -167,7 +167,8 @@ def resolve_warp_mode(mode):
 
 
 def warp_planes_bounded(planes, u, v, dmax, interpret=None,
-                        border_out=True):
+                        border_out=True, rbud=None, fast_only=None,
+                        with_overflow=False):
     """Displacement-bounded fused warp of a (P, H, W) stack: the Pallas
     VMEM-window kernel on big planes, the XLA shift-select sum on small
     ones (kernel launch overhead dominates there).  Semantics =
@@ -176,23 +177,45 @@ def warp_planes_bounded(planes, u, v, dmax, interpret=None,
     always takes the shift path, whose static shifts also shard cleanly
     under GSPMD (the spatial-tiling 4K configs).
 
-    Uses the kernel's fast_only mode (round 4): no in-kernel exact
-    fallback is compiled (the dmax=8 exact sum alone cost ~90-200 s of
-    Mosaic compile per geometry), at the price of the strict-bound /
-    two-window degradation class — pixels a motion boundary's third
-    displacement cluster leaves uncovered produce 0 for that warp
-    (validated: f32 TPU fast path vs f64 CPU exact oracle EPE ~0.008,
-    tools/bench_4k.json)."""
-    from tpuflow.ops.warp_pallas import warp_planes_pallas
+    DEFAULT is the kernel's fast_only mode (round 4): no in-kernel
+    exact fallback is compiled (the dmax=8 exact sum alone cost
+    ~90-200 s of Mosaic compile per geometry), at the price of the
+    strict-bound / two-window degradation class — pixels a motion
+    boundary's third displacement cluster leaves uncovered produce 0
+    for that warp (validated: f32 TPU fast path vs f64 CPU exact oracle
+    EPE ~0.008, tools/bench_4k.json).  Accuracy-sensitive callers can
+    restore the exact in-kernel fallback (bit-identical to the shift
+    path for every input, at the Mosaic-compile cost above) with
+    `fast_only=False`, or widen the residual windows with `rbud`;
+    the environment knobs TPUFLOW_WARP_RBUD / TPUFLOW_WARP_EXACT=1
+    override the defaults process-wide.
 
-    if border_out and planes.shape[-2] * planes.shape[-1] >= 96 * 96:
+    `with_overflow=True` additionally returns the number of degraded
+    (two-window-overflowed) tiles as an int32 scalar — 0 on the shift
+    and exact paths."""
+    import os
+
+    from tpuflow.ops.warp_pallas import warp_planes_pallas_batched
+
+    if fast_only is None:
+        fast_only = not os.environ.get("TPUFLOW_WARP_EXACT")
+    if rbud is None:
         # rbud=3 measured best end-to-end (tools/tpu_exp/r4_occ_rbud.py):
         # wider windows leave fewer degraded pixels, which buys back
         # outer-loop iterations in the alternating solvers
-        return warp_planes_pallas(planes, u, v, dmax, tile=(32, 512),
-                                  interpret=interpret, rbud=3,
-                                  fast_only=True)
-    return warp_planes_shift(planes, u, v, dmax, border_out=border_out)
+        rbud = int(os.environ.get("TPUFLOW_WARP_RBUD", "3"))
+    if border_out and planes.shape[-2] * planes.shape[-1] >= 96 * 96:
+        out, flags = warp_planes_pallas_batched(
+            planes[None], u[None], v[None], dmax, tile=(32, 512),
+            interpret=interpret, rbud=rbud, fast_only=fast_only,
+            with_flags=True)
+        if with_overflow:
+            return out[0], jnp.sum(flags, dtype=jnp.int32)
+        return out[0]
+    out = warp_planes_shift(planes, u, v, dmax, border_out=border_out)
+    if with_overflow:
+        return out, jnp.zeros((), jnp.int32)
+    return out
 
 
 def warp_planes_shift(planes, u, v, dmax, border_out=True):

@@ -369,9 +369,11 @@ def _warp_call(planes, uv, aux, dmax, mode, ny, nx, tile, rbud, alpha2,
 
 
 @functools.partial(jax.jit, static_argnames=("dmax", "tile", "interpret",
-                                             "rbud", "fast_only"))
+                                             "rbud", "fast_only",
+                                             "with_flags"))
 def warp_planes_pallas_batched(planes, u, v, dmax, tile=(64, 128),
-                               interpret=None, rbud=3, fast_only=False):
+                               interpret=None, rbud=3, fast_only=False,
+                               with_flags=False):
     """Batched bounded warp: (B, P, H, W) planes, (B, H, W) flows.
 
     The batch is a grid dimension, so every (sample, tile) pair
@@ -399,11 +401,15 @@ def warp_planes_pallas_batched(planes, u, v, dmax, tile=(64, 128),
     uv = jnp.stack([u, v], axis=1)
     if fast_only:
         rb = 2 if rbud is None else rbud
-        out, _ = _warp_call(planes, uv, None, dmax, "planes_fast", ny, nx,
-                            tile, rb, 0.0, interpret, out_pad=False)
+        out, flags = _warp_call(planes, uv, None, dmax, "planes_fast",
+                                ny, nx, tile, rb, 0.0, interpret,
+                                out_pad=False)
     else:
         out = _warp_call(planes, uv, None, dmax, "planes", ny, nx, tile,
                          rbud, 0.0, interpret, out_pad=False)
+        flags = jnp.zeros((nb, 1, 1), jnp.int32)  # exact path never degrades
+    if with_flags:
+        return out[:, :, :ny, :nx], flags
     return out[:, :, :ny, :nx]
 
 
@@ -429,9 +435,14 @@ def warp_const_pallas_batched(planes, uv_p, aux_p, dmax, mode, ny, nx,
       (reference src/horn_schunck_pyramidal.cpp:123-137).
 
     Also returns (B, gy, gx) int32 overflow flags: 1 where a tile's
-    in-bound residual displacements were not covered by two relative
-    windows — the caller should then recompute this warp's constants
-    via the XLA shift path (see tpuflow.models.batch._xla_const_*).
+    in-bound residual displacements were not covered by the two
+    relative windows.  Flagged tiles are NOT recomputed — their
+    uncovered pixels degrade to 0 for this warp (the border_out failure
+    class; an XLA-recompute fallback was tried and rejected, see module
+    docstring).  Callers aggregate the flags into their stats/diag
+    surface (tpuflow.models.batch `with_stats`) so real multi-motion
+    content that exceeds the two-window budget is observable rather
+    than silent.
 
     The tile must divide (Hp, Wp); pick via `pick_tile`."""
     Hp, Wp = uv_p.shape[-2:]

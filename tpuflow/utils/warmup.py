@@ -23,14 +23,10 @@ import subprocess
 import sys
 import time
 
-DEFAULT_CACHE = os.environ.get("TPUFLOW_JAX_CACHE", "/tmp/tpuflow-jax-cache")
+def _configure_cache():
+    from tpuflow.utils.cache import configure_cache
 
-
-def _configure_cache(cache_dir=DEFAULT_CACHE):
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    configure_cache()
 
 
 def _warm_one(method, B, ny, nx):
@@ -52,8 +48,8 @@ def _warm_one(method, B, ny, nx):
         ns = clamp_nscales(nx, ny, 0.5, 10, use_hypot=True)
         tb, caps = mb._hs_mode_scalars("error", 1e-4, 150, 10, ns, 0.5,
                                        ny, nx, jnp.float32)
-        mb._hs_batched_jit.lower(I, I, 7.0, ns, 0.5, 8, tb,
-                                 caps).compile()
+        mb._hs_batched_jit.lower(I, I, 7.0, ns, 0.5, 8, tb, caps,
+                                 jnp.asarray(2, jnp.int32)).compile()
     else:
         raise ValueError(f"unknown method {method!r}")
 
@@ -81,7 +77,9 @@ def warmup(geometries=((16, 436, 1024),), methods=("tvl1", "hs"),
                 env=dict(os.environ, PYTHONPATH=os.pathsep.join(
                     [os.path.dirname(os.path.dirname(os.path.dirname(
                         os.path.abspath(__file__))))]
-                    + os.environ.get("PYTHONPATH", "").split(os.pathsep)))))
+                    + [p for p in
+                       os.environ.get("PYTHONPATH", "").split(os.pathsep)
+                       if p]))))
     deadline = time.time() + timeout
     for p in procs:
         try:
