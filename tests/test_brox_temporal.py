@@ -61,3 +61,37 @@ def test_recovers_truth(bt_goldens):
                    np.broadcast_to(g["true_u"], u.shape),
                    np.broadcast_to(g["true_v"], v.shape))
     assert epe < epe_ref * 1.1 + 0.02, (epe, epe_ref)
+
+
+def test_fast_warp_mode_matches_exact(bt_goldens):
+    """warp_mode="fast" (the TPU routing, r5: per-frame 6-plane warps
+    through the bounded batched kernel / shift path instead of the
+    exact gather) must match the exact gather closely for in-bound
+    flows."""
+    g = bt_goldens
+    vol = jnp.asarray(g["vol"], dtype=jnp.float32)
+    u_e, v_e = brox_temporal(vol, nscales=2, clamp_scales=False,
+                             warp_mode="exact")
+    u_f, v_f = brox_temporal(vol, nscales=2, clamp_scales=False,
+                             warp_mode="fast")
+    assert _epe(u_f, v_f, np.asarray(u_e), np.asarray(v_e)) < 2e-3
+
+
+def test_fast_warp_pallas_route_big_level():
+    """At >= 96x96 the fast mode routes the Pallas batched kernel
+    (interpret mode on CPU); one cheap fixed-sweep outer iteration must
+    agree with the exact gather."""
+    rng = np.random.default_rng(7)
+    ny, nx = 96, 128
+    base = rng.standard_normal((ny + 8, nx + 8))
+    from scipy.ndimage import gaussian_filter
+
+    base = gaussian_filter(base, 3.0) * 120 + 128
+    vol = np.stack([base[4 + dy:4 + dy + ny, 4:4 + nx]
+                    for dy in (-1, 0, 1)])
+    vol = jnp.asarray(vol, jnp.float32)
+    kw = dict(nscales=1, clamp_scales=False, outer_iter=2, stop="fixed",
+              maxiter=3)
+    u_e, v_e = brox_temporal(vol, warp_mode="exact", **kw)
+    u_f, v_f = brox_temporal(vol, warp_mode="fast", **kw)
+    assert _epe(u_f, v_f, np.asarray(u_e), np.asarray(v_e)) < 2e-3

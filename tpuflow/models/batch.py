@@ -111,7 +111,8 @@ def _use_fused(shape):
 
 
 
-def tvl1_scale_batched(I0, I1, u1, u2, dmax, tau, lam, theta, thresh, caps):
+def tvl1_scale_batched(I0, I1, u1, u2, dmax, tau, lam, theta, thresh, caps,
+                       ee=None):
     """Batched single-scale TV-L1 with bounded-displacement warps.
 
     `thresh` (runtime scalar) is the reference's stopping threshold
@@ -120,6 +121,16 @@ def tvl1_scale_batched(I0, I1, u1, u2, dmax, tau, lam, theta, thresh, caps):
     (warps,) int32 array of per-warp iteration caps.  Big levels run
     each warp as warp-constants kernel + whole-level-in-VMEM iteration
     kernel (one HBM round-trip each).
+
+    `ee` (runtime int32 scalar, default 2) is the warp-level early-exit
+    iteration threshold (r5): when stopping is enabled and every
+    sample's inner fixed point converged within `ee` iterations, the
+    remaining warps are skipped — the reference's own operating data
+    (tools/tvl1_calibration.json: warps 2-5 converge in 1-2 iterations
+    at every level size) makes them numerical no-ops, and the fused
+    warp+constants kernel they would launch is the single most
+    expensive kernel of the solve (tools/roofline.json).  ee <= 0
+    disables the exit (strictly reference-faithful warp count).
 
     Returns (u1, u2, oflow): `oflow` is the int32 count of warp tiles
     whose residual displacements exceeded the fused kernel's two-window
@@ -135,6 +146,8 @@ def tvl1_scale_batched(I0, I1, u1, u2, dmax, tau, lam, theta, thresh, caps):
     big = _use_fused(I0.shape)
     state = jnp.stack([u1, u2, zero, zero, zero, zero], axis=1)
     B = I0.shape[0]
+    if ee is None:
+        ee = jnp.asarray(2, jnp.int32)
 
     if big:
         state_p = pad_hw(state)
@@ -143,18 +156,24 @@ def tvl1_scale_batched(I0, I1, u1, u2, dmax, tau, lam, theta, thresh, caps):
         Hp, Wp = state_p.shape[-2:]
         tile = pick_tile(Hp, Wp, WARP_TILE)
 
-        def warp_body(wi, carry):
-            state_p, oflow = carry
+        def cond(c):
+            return (c[1] < warps) & jnp.logical_not(c[2])
+
+        def body(c):
+            state_p, wi, _, oflow = c
             const_p, flags = warp_const_pallas_batched(
                 I1s, state_p[:, :2], aux_p, dmax, "tvl1", ny, nx,
                 tile=tile, rbud=WARP_RBUD)
-            state_p, _, _ = tvl1_iterate_error_padded(
+            state_p, _, n = tvl1_iterate_error_padded(
                 state_p, const_p, ny, nx, thresh, caps[wi], l_t, theta,
                 taut)
-            return state_p, oflow + jnp.sum(flags, dtype=jnp.int32)
+            done = (jnp.max(n) <= ee) & (thresh > 0) & (ee > 0)
+            return (state_p, wi + 1, done,
+                    oflow + jnp.sum(flags, dtype=jnp.int32))
 
-        state_p, oflow = jax.lax.fori_loop(
-            0, warps, warp_body, (state_p, jnp.zeros((), jnp.int32)))
+        state_p, _, _, oflow = jax.lax.while_loop(
+            cond, body, (state_p, jnp.asarray(0, jnp.int32),
+                         jnp.asarray(False), jnp.zeros((), jnp.int32)))
         return state_p[:, 0, :ny, :nx], state_p[:, 1, :ny, :nx], oflow
 
     def warp_body(wi, state):
@@ -191,7 +210,8 @@ def tvl1_scale_batched(I0, I1, u1, u2, dmax, tau, lam, theta, thresh, caps):
 
 
 def _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor, max_motion,
-                  thresh_base, caps_all, level_callback=None, resume=None):
+                  thresh_base, caps_all, ee, level_callback=None,
+                  resume=None):
     """Shared batched TV-L1 pyramid over run_pyramid_state (SURVEY §5.4:
     one driver = uniform checkpoint/resume/trace hooks).
 
@@ -215,7 +235,7 @@ def _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor, max_motion,
         u1, u2, oflow = tvl1_scale_batched(l0, l1, state["u1"], state["u2"],
                                            dmax=dmax, tau=tau, lam=lam,
                                            theta=theta, thresh=thresh,
-                                           caps=caps_all[scale])
+                                           caps=caps_all[scale], ee=ee)
         prev = state.get("oflow", jnp.zeros((), jnp.int32))  # resume compat
         return {"u1": u1, "u2": u2, "oflow": prev + oflow}
 
@@ -230,9 +250,9 @@ def _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor, max_motion,
 @partial(jax.jit, static_argnames=("tau", "lam", "theta", "nscales",
                                    "zfactor", "max_motion"))
 def _tvl1_batched_jit(I0, I1, tau, lam, theta, nscales, zfactor,
-                      max_motion, thresh_base, caps_all):
+                      max_motion, thresh_base, caps_all, ee):
     return _tvl1_pyramid(I0, I1, tau, lam, theta, nscales, zfactor,
-                         max_motion, thresh_base, caps_all)
+                         max_motion, thresh_base, caps_all, ee)
 
 
 def _tvl1_mode_scalars(stop, epsilon, max_iterations, iter_schedule,
@@ -270,7 +290,7 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
                  zfactor=0.5, iter_schedule=None,
                  max_motion=8, stop="error", warps=5, epsilon=0.01,
                  max_iterations=300, level_callback=None, resume=None,
-                 with_stats=False):
+                 with_stats=False, warp_early_exit=True):
     """Batched multiscale TV-L1: (B, H, W) pairs -> (B, H, W) flows.
 
     One jit covers the whole pyramid (static level shapes), so a call is
@@ -297,6 +317,16 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
     fused warp kernel's two-window budget and partially degraded to 0
     (tpuflow.ops.warp_pallas) — the diagnostic for real multi-motion
     content beyond the kernel's coverage class.
+
+    DELIBERATE DEVIATION (default on, r5): in stop="error" mode a
+    level's warp loop exits early once every sample's inner fixed point
+    converges within 2 iterations, whereas the reference always runs
+    all `warps` warps (src/tvl1flow.cpp:92).  At the reference's own
+    operating points warps 2-5 converge in 1-2 iterations at every
+    level (tools/tvl1_calibration.json), making the skipped warps
+    numerical no-ops (EPE-validated in the TPU lane).  Pass
+    `warp_early_exit=False` for the strictly reference-faithful
+    schedule — a runtime scalar, so toggling never recompiles.
     """
     ny, nx = I0.shape[-2:]
     if nscales is None:
@@ -307,14 +337,15 @@ def tvl1_batched(I0, I1, tau=0.25, lam=0.15, theta=0.3, nscales=None,
         stop, epsilon, max_iterations, iter_schedule, warps, nscales,
         zfactor, ny, nx,
         I0.dtype if hasattr(I0, "dtype") else jnp.float32)
+    ee = jnp.asarray(2 if warp_early_exit else 0, jnp.int32)
     if level_callback is None and resume is None:
         u1, u2, oflow = _tvl1_batched_jit(I0, I1, tau, lam, theta, nscales,
                                           zfactor, max_motion, thresh_base,
-                                          caps_all)
+                                          caps_all, ee)
     else:
         u1, u2, oflow = _tvl1_pyramid(I0, I1, tau, lam, theta, nscales,
                                       zfactor, max_motion, thresh_base,
-                                      caps_all,
+                                      caps_all, ee,
                                       level_callback=level_callback,
                                       resume=resume)
     if with_stats:

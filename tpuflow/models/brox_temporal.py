@@ -96,11 +96,21 @@ def _div6(f, psi1, psi2, psi3, psi4, psi5, psi6):
 def brox_temporal_scale(I, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                         tol=DEFAULT_TOL, inner_iter=DEFAULT_INNER,
                         outer_iter=DEFAULT_OUTER, stop="error",
-                        maxiter=MAXITER_SOR, with_diag=False):
+                        maxiter=MAXITER_SOR, with_diag=False,
+                        warp_mode="exact", dmax=8):
     """Single-scale spatio-temporal Brox flow.
 
     I: (T, H, W) frame volume; u, v: (T-1, H, W) flow fields.
     Reference brox_optic_flow, src/brox_optic_flow_temporal.cpp:282-513.
+
+    `warp_mode="fast"` routes the per-frame 6-plane warps (the
+    reference warps 6 planes per frame pair per outer iteration,
+    src/brox_optic_flow_temporal.cpp:357-364) through the batched
+    bounded Pallas kernel with the frame axis as the batch/grid axis —
+    the same per-level `dmax` displacement-bound and two-window
+    degradation semantics as the other TPU solvers
+    (tpuflow.ops.warp_pallas).  "exact" (default) keeps the per-pixel
+    bicubic gather for CPU-oracle parity.
 
     `with_diag=True` additionally returns {"iterations": (outer, inner)
     int32} — the SOR sweep counts the reference prints when verbose
@@ -118,13 +128,28 @@ def brox_temporal_scale(I, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
     tail = I[1:]
     planes = jnp.stack([tail, Ix[1:], Iy[1:], dxx(tail), dxy(tail), dyy(tail)])
 
+    def _warp6(u, v):
+        if warp_mode != "fast":
+            # vmap over the field axis shares tap computation per field
+            return jax.vmap(
+                lambda p, uu, vv: warp_planes(p, uu, vv, border_out=True),
+                in_axes=(1, 0, 0))(planes, u, v)  # (nz, 6, H, W)
+        planes_b = jnp.swapaxes(planes, 0, 1)  # (nz, 6, H, W)
+        if ny * nx >= 96 * 96:
+            from tpuflow.ops.warp_pallas import warp_planes_pallas_batched
+
+            return warp_planes_pallas_batched(planes_b, u, v, dmax,
+                                              tile=(32, 512), rbud=3,
+                                              fast_only=True)
+        from tpuflow.ops.interp import warp_planes_shift
+
+        return jax.vmap(lambda p, a, b: warp_planes_shift(p, a, b, dmax))(
+            planes_b, u, v)
+
     def outer_body(uv, _):
         u, v = uv
-        # warp the 6 derivative planes of frame f+1 by flow f; vmap over
-        # the field axis shares tap computation within each field
-        warped = jax.vmap(
-            lambda p, uu, vv: warp_planes(p, uu, vv, border_out=True),
-            in_axes=(1, 0, 0))(planes, u, v)  # (nz, 6, H, W)
+        # warp the 6 derivative planes of frame f+1 by flow f
+        warped = _warp6(u, v)
         Iw, Iwx, Iwy, Iwxx, Iwxy, Iwyy = jnp.moveaxis(warped, 1, 0)
 
         ux, uy, ut = centered_gradient3(u)
@@ -209,11 +234,13 @@ def brox_temporal_scale(I, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
 
 @partial(jax.jit, static_argnames=("alpha", "gamma", "tol", "inner_iter",
                                    "outer_iter", "stop", "maxiter",
-                                   "with_diag"))
+                                   "with_diag", "warp_mode", "dmax"))
 def _brox_temporal_scale_jit(I, u, v, alpha, gamma, tol, inner_iter,
-                             outer_iter, stop, maxiter, with_diag=False):
+                             outer_iter, stop, maxiter, with_diag=False,
+                             warp_mode="exact", dmax=8):
     return brox_temporal_scale(I, u, v, alpha, gamma, tol, inner_iter,
-                               outer_iter, stop, maxiter, with_diag=with_diag)
+                               outer_iter, stop, maxiter, with_diag=with_diag,
+                               warp_mode=warp_mode, dmax=dmax)
 
 
 def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
@@ -222,7 +249,7 @@ def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                   outer_iter=DEFAULT_OUTER, stop="error",
                   maxiter=MAXITER_SOR, clamp_scales=True,
                   level_callback=None, resume=None, verbose=False,
-                  with_diag=False):
+                  with_diag=False, warp_mode="auto", max_motion=8):
     """Multiscale spatio-temporal Brox flow (reference
     brox_optic_flow_temporal, src/brox_optic_flow_temporal.cpp:520-626).
 
@@ -231,12 +258,21 @@ def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
     `level_callback` / `resume` are the shared run_pyramid_state
     checkpoint hooks (state keys u1/u2, each (T-1, h, w)).
 
+    `warp_mode="auto"` resolves to the displacement-bounded Pallas fast
+    warp on TPU (frame axis = kernel batch axis) and the exact bicubic
+    gather elsewhere — identical policy to brox_spatial; per-level
+    displacement bound max(3, ceil(max_motion * zfactor**s)).
+
     `verbose` prints the reference's stdout lines: `Scale: %d` per level
     (src/brox_optic_flow_temporal.cpp:592-594) and `Iterations: %d` per
     outer*inner iteration (:459-461).  `with_diag=True` returns
     (u, v, diags), diags[s] = {"iterations": (outer, inner)}."""
+    import math
     import sys
 
+    from tpuflow.ops.interp import resolve_warp_mode
+
+    warp_mode = resolve_warp_mode(warp_mode)
     frames, ny, nx = I.shape
     if frames <= 2:
         raise ValueError("The method needs more than two frames "
@@ -267,10 +303,12 @@ def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
     diags = [None] * nscales
 
     def solve(level_images, state, scale):
+        dmax = max(3, math.ceil(max_motion * (zfactor ** scale)))
         out = _brox_temporal_scale_jit(level_images[0], state["u1"],
                                        state["u2"], alpha, gamma, tol,
                                        inner_iter, outer_iter, stop, maxiter,
-                                       with_diag=diag)
+                                       with_diag=diag, warp_mode=warp_mode,
+                                       dmax=dmax)
         if diag:
             u, v, d = out
             diags[scale] = d

@@ -94,28 +94,53 @@ def _warp_kernel(uv_ref, *rest, dmax, rbud, th, tw, ny, nx, n_planes,
     # end-anchored windows + overflow flag, uncovered pixels -> 0
     fast_only = mode != "planes"
     if has_aux:
-        aux_ref, planes_ref, out_ref, flag_ref, win_ref, sem = rest
+        aux_ref, planes_ref, out_ref, flag_ref, win2_ref, sem = rest
         aux = aux_ref[0]
     elif fast_only:  # planes_fast
-        planes_ref, out_ref, flag_ref, win_ref, sem = rest
+        planes_ref, out_ref, flag_ref, win2_ref, sem = rest
     else:
-        planes_ref, out_ref, win_ref, sem = rest
+        planes_ref, out_ref, win2_ref, sem = rest
     D = dmax
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
+    gy = pl.num_programs(1)
+    gx = pl.num_programs(2)
     dtype = out_ref.dtype
 
-    # DMA the overlapping (tile + halo) window of all planes into VMEM —
-    # windows overlap by 2D+4, which BlockSpec striding cannot express.
-    # Window dims are rounded up to the (8, 128) tiling.
-    wh = win_ref.shape[1]
-    ww = win_ref.shape[2]
-    dma = pltpu.make_async_copy(
-        planes_ref.at[b, :, pl.ds(i * th, wh), pl.ds(j * tw, ww)],
-        win_ref, sem)
-    dma.start()
-    dma.wait()
+    # DOUBLE-BUFFERED manual DMA of the overlapping (tile + halo) window
+    # of all planes — windows overlap by 2D+4, which BlockSpec striding
+    # cannot express, and a blocking copy stalls every tile for the full
+    # window latency (~63% of this kernel was fixed per-tile overhead in
+    # the r3 sweep; r5 roofline traced the kernel at 55% of the whole
+    # TV-L1 device time).  Grid steps run sequentially per core, so tile
+    # t issues tile t+1's copy before computing: the next window streams
+    # in during the current tile's one-hot accumulation.  Window dims
+    # are rounded up to the (8, 128) tiling.
+    wh = win2_ref.shape[2]
+    ww = win2_ref.shape[3]
+    t_flat = (b * gy + i) * gx + j
+    total = pl.num_programs(0) * gy * gx
+
+    def dma_for(t, slot):
+        tb, rem = jnp.divmod(t, gy * gx)
+        ti, tj = jnp.divmod(rem, gx)
+        return pltpu.make_async_copy(
+            planes_ref.at[tb, :, pl.ds(ti * th, wh), pl.ds(tj * tw, ww)],
+            win2_ref.at[slot], sem.at[slot])
+
+    slot = jnp.mod(t_flat, 2)
+
+    @pl.when(t_flat == 0)
+    def _first():
+        dma_for(t_flat, slot).start()
+
+    @pl.when(t_flat + 1 < total)
+    def _prefetch():
+        dma_for(t_flat + 1, 1 - slot).start()
+
+    dma_for(t_flat, slot).wait()
+    win_ref = win2_ref.at[slot]
 
     ii = (i * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0))
     jj = (j * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1))
@@ -358,8 +383,8 @@ def _warp_call(planes, uv, aux, dmax, mode, ny, nx, tile, rbud, alpha2,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((n_planes, wh, ww), planes.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, n_planes, wh, ww), planes.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -29,8 +29,33 @@ def _configure_cache():
     configure_cache()
 
 
-def _warm_one(method, B, ny, nx):
-    """AOT-compile one method's batched program (subprocess entry)."""
+SPATIAL_METHODS = ("occflow", "robust_expo", "brox_spatial")
+
+
+def _spatial_levels(method, ny, nx):
+    """(scale, (cny, cnx), dmax) rows for a spatial method's pyramid at
+    CLI-default parameters — one warm-up unit per level, mirroring the
+    per-level jits of the host pyramid loop (models/*.py solve())."""
+    import math
+
+    from tpuflow.ops import clamp_nscales
+    from tpuflow.ops.pyramid import pyramid_sizes
+
+    defaults = {"occflow": 100, "robust_expo": 10, "brox_spatial": 10}
+    ns = clamp_nscales(nx, ny, 0.5, defaults[method], use_hypot=False)
+    sizes = pyramid_sizes(nx, ny, 0.5, ns)
+    return [(s, (cny, cnx), max(3, math.ceil(8 * 0.5 ** s)))
+            for s, (cnx, cny) in enumerate(sizes)]
+
+
+def _warm_one(method, B, ny, nx, scale=None):
+    """AOT-compile one method's program (subprocess entry).
+
+    For the batched engines (tvl1/hs) this is the whole-pyramid jit;
+    for the spatial multiscale methods (occflow/robust_expo/brox) it is
+    ONE level's jit (`scale`) with exactly the static arguments the
+    host pyramid driver passes, so the driver's first call loads every
+    level from the cache."""
     _configure_cache()
     import jax.numpy as jnp
 
@@ -43,36 +68,83 @@ def _warm_one(method, B, ny, nx):
         tb, caps = mb._tvl1_mode_scalars("error", 0.01, 300, None, 5, ns,
                                          0.5, ny, nx, jnp.float32)
         mb._tvl1_batched_jit.lower(I, I, 0.25, 0.15, 0.3, ns, 0.5, 8,
-                                   tb, caps).compile()
+                                   tb, caps,
+                                   jnp.asarray(2, jnp.int32)).compile()
     elif method == "hs":
         ns = clamp_nscales(nx, ny, 0.5, 10, use_hypot=True)
         tb, caps = mb._hs_mode_scalars("error", 1e-4, 150, 10, ns, 0.5,
                                        ny, nx, jnp.float32)
         mb._hs_batched_jit.lower(I, I, 7.0, ns, 0.5, 8, tb, caps,
                                  jnp.asarray(2, jnp.int32)).compile()
+    elif method in SPATIAL_METHODS:
+        rows = _spatial_levels(method, ny, nx)
+        rows = [r for r in rows if scale is None or r[0] == scale]
+        for s, (cny, cnx), dmax in rows:
+            L = jnp.zeros((cny, cnx), jnp.float32)
+            if method == "occflow":
+                # static args of models/tvl1occflow.py solve()
+                from tpuflow.models.tvl1occflow import _tvl1occ_scale_jit
+                _tvl1occ_scale_jit.lower(
+                    L, L, L, L, L, L, L, 0.15, 0.01, 0.15, 0.3, 2, 0.01,
+                    "error", 20, with_diag=False, warp_mode="fast",
+                    dmax=dmax).compile()
+            elif method == "robust_expo":
+                # static args of models/robust_expo.py solve()
+                # (alpha_adapted = int(50 * nz) = 50.0 for grayscale)
+                from tpuflow.models.robust_expo import _robust_expo_scale_jit
+                _robust_expo_scale_jit.lower(
+                    L, L, L, L, 1, 50.0, 10.0, 0.2, 1e-4, 1, 15, "error",
+                    300, with_diag=False, warp_mode="fast",
+                    dmax=dmax).compile()
+            else:  # brox_spatial — models/brox_spatial.py solve()
+                from tpuflow.models.brox_spatial import _brox_scale_jit
+                _brox_scale_jit.lower(
+                    L, L, L, L, 50.0, 10.0, 1e-4, 1, 15, "error", 300,
+                    with_diag=False, warp_mode="fast",
+                    dmax=dmax).compile()
     else:
         raise ValueError(f"unknown method {method!r}")
 
 
 def warmup(geometries=((16, 436, 1024),), methods=("tvl1", "hs"),
            timeout=600, verbose=False):
-    """Pre-compile the batched engines for the given (B, H, W)
-    geometries into the persistent cache, one subprocess per (method,
-    geometry), all concurrent.  Returns the wall seconds spent.
+    """Pre-compile solver programs for the given (B, H, W) geometries
+    into the persistent cache, all subprocesses concurrent.  Returns
+    the wall seconds spent.
+
+    methods: any of "tvl1"/"hs" (batched engines: one subprocess per
+    (method, geometry), whole pyramid in one program; B used) and
+    "occflow"/"robust_expo"/"brox_spatial" (single-pair multiscale
+    spatial configs at CLI defaults: one subprocess PER PYRAMID LEVEL,
+    B ignored — the 1080p/4K first-call compiles that previously paid a
+    serial ~4 min, VERDICT r4 item 4).
 
     Call once per deployment shape, e.g.::
 
         import tpuflow
         tpuflow.warmup([(16, 436, 1024), (1, 436, 1024)])
+        tpuflow.warmup([(1, 1080, 1920)], methods=("occflow", "robust_expo"))
     """
     t0 = time.perf_counter()
     procs = []
     out = None if verbose else subprocess.DEVNULL
+    jobs = []
     for method in methods:
         for (B, ny, nx) in geometries:
-            procs.append(subprocess.Popen(
-                [sys.executable, "-m", "tpuflow.utils.warmup",
-                 method, str(B), str(ny), str(nx)],
+            if method in SPATIAL_METHODS:
+                # one subprocess per pyramid level: the expensive
+                # level-0/1 XLA+Mosaic compiles of different methods
+                # overlap instead of serializing (r5, VERDICT item 4)
+                for s, _, _ in _spatial_levels(method, ny, nx):
+                    jobs.append((method, B, ny, nx, s))
+            else:
+                jobs.append((method, B, ny, nx, None))
+    for (method, B, ny, nx, s) in jobs:
+        args = [method, str(B), str(ny), str(nx)]
+        if s is not None:
+            args.append(str(s))
+        procs.append(subprocess.Popen(
+                [sys.executable, "-m", "tpuflow.utils.warmup", *args],
                 stdout=out, stderr=out,
                 env=dict(os.environ, PYTHONPATH=os.pathsep.join(
                     [os.path.dirname(os.path.dirname(os.path.dirname(
@@ -91,4 +163,5 @@ def warmup(geometries=((16, 436, 1024),), methods=("tvl1", "hs"),
 
 if __name__ == "__main__":
     _warm_one(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
-              int(sys.argv[4]))
+              int(sys.argv[4]),
+              int(sys.argv[5]) if len(sys.argv) > 5 else None)
