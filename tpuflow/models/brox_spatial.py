@@ -159,11 +159,13 @@ def brox_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
         u, v = uv
         if warp_mode == "fast":
             from tpuflow.ops.interp import warp_planes_bounded
-            I2w, I2wx, I2wy, I2wxx, I2wxy, I2wyy = warp_planes_bounded(
-                planes, u, v, dmax)
+            warped, oflow = warp_planes_bounded(planes, u, v, dmax,
+                                                with_overflow=True)
+            I2w, I2wx, I2wy, I2wxx, I2wxy, I2wyy = warped
         else:
             I2w, I2wx, I2wy, I2wxx, I2wxy, I2wyy = warp_planes(
                 planes, u, v, border_out=True)
+            oflow = jnp.zeros((), jnp.int32)
 
         ux, uy = centered_gradient(u)
         vx, vy = centered_gradient(v)
@@ -201,11 +203,13 @@ def brox_scale(I1, I2, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
 
         (du, dv), nsors = jax.lax.scan(inner_body, (du, dv), None,
                                        length=inner_iter)
-        return (u + du, v + dv), nsors
+        return (u + du, v + dv), (nsors, oflow)
 
-    (u, v), nsors = jax.lax.scan(outer_body, (u, v), None, length=outer_iter)
+    (u, v), (nsors, oflows) = jax.lax.scan(outer_body, (u, v), None,
+                                           length=outer_iter)
     if with_diag:
-        return u, v, {"iterations": nsors}
+        return u, v, {"iterations": nsors,
+                      "warp_overflow_tiles": jnp.sum(oflows)}
     return u, v
 
 

@@ -129,27 +129,30 @@ def brox_temporal_scale(I, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
     planes = jnp.stack([tail, Ix[1:], Iy[1:], dxx(tail), dxy(tail), dyy(tail)])
 
     def _warp6(u, v):
+        zero = jnp.zeros((), jnp.int32)
         if warp_mode != "fast":
             # vmap over the field axis shares tap computation per field
             return jax.vmap(
                 lambda p, uu, vv: warp_planes(p, uu, vv, border_out=True),
-                in_axes=(1, 0, 0))(planes, u, v)  # (nz, 6, H, W)
+                in_axes=(1, 0, 0))(planes, u, v), zero  # (nz, 6, H, W)
         planes_b = jnp.swapaxes(planes, 0, 1)  # (nz, 6, H, W)
         if ny * nx >= 96 * 96:
             from tpuflow.ops.warp_pallas import warp_planes_pallas_batched
 
-            return warp_planes_pallas_batched(planes_b, u, v, dmax,
-                                              tile=(32, 512), rbud=3,
-                                              fast_only=True)
+            w, flags = warp_planes_pallas_batched(planes_b, u, v, dmax,
+                                                  tile=(32, 512), rbud=3,
+                                                  fast_only=True,
+                                                  with_flags=True)
+            return w, jnp.sum(flags, dtype=jnp.int32)
         from tpuflow.ops.interp import warp_planes_shift
 
         return jax.vmap(lambda p, a, b: warp_planes_shift(p, a, b, dmax))(
-            planes_b, u, v)
+            planes_b, u, v), zero
 
     def outer_body(uv, _):
         u, v = uv
         # warp the 6 derivative planes of frame f+1 by flow f
-        warped = _warp6(u, v)
+        warped, oflow = _warp6(u, v)
         Iw, Iwx, Iwy, Iwxx, Iwxy, Iwyy = jnp.moveaxis(warped, 1, 0)
 
         ux, uy, ut = centered_gradient3(u)
@@ -224,11 +227,13 @@ def brox_temporal_scale(I, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
 
         (du, dv), nsors = jax.lax.scan(inner_body, (du, dv), None,
                                        length=inner_iter)
-        return (u + du, v + dv), nsors
+        return (u + du, v + dv), (nsors, oflow)
 
-    (u, v), nsors = jax.lax.scan(outer_body, (u, v), None, length=outer_iter)
+    (u, v), (nsors, oflows) = jax.lax.scan(outer_body, (u, v), None,
+                                           length=outer_iter)
     if with_diag:
-        return u, v, {"iterations": nsors}
+        return u, v, {"iterations": nsors,
+                      "warp_overflow_tiles": jnp.sum(oflows)}
     return u, v
 
 

@@ -154,11 +154,14 @@ def robust_expo_scale(I1, I2, u, v, method_type=DEFAULT_METHOD,
         u, v = uv
         if warp_mode == "fast":
             from tpuflow.ops.interp import warp_planes_bounded
-            warped = warp_planes_bounded(planes.reshape(6 * nz, ny, nx), u,
-                                         v, dmax).reshape(6, nz, ny, nx)
+            warped, oflow = warp_planes_bounded(
+                planes.reshape(6 * nz, ny, nx), u, v, dmax,
+                with_overflow=True)
+            warped = warped.reshape(6, nz, ny, nx)
         else:
             warped = warp_planes(planes.reshape(6 * nz, ny, nx), u, v,
                                  border_out=True).reshape(6, nz, ny, nx)
+            oflow = jnp.zeros((), jnp.int32)
         I2w, I2wx, I2wy, I2wxx, I2wxy, I2wyy = warped
 
         ux, uy = centered_gradient(u)
@@ -212,12 +215,16 @@ def robust_expo_scale(I1, I2, u, v, method_type=DEFAULT_METHOD,
 
         (du, dv), diag = jax.lax.scan(inner_body, (du, dv), None,
                                       length=inner_iter)
-        return (u + du, v + dv), diag
+        return (u + du, v + dv), (diag, oflow)
 
-    (u, v), (nsors, errs) = jax.lax.scan(outer_body, (u, v), None,
-                                         length=outer_iter)
+    (u, v), ((nsors, errs), oflows) = jax.lax.scan(outer_body, (u, v), None,
+                                                   length=outer_iter)
     if with_diag:
-        return u, v, {"iterations": nsors, "error": errs}
+        # warp_overflow_tiles: two-window-degraded warp tiles summed
+        # over the outer iterations (the at-size degradation statistic
+        # for the fast warp; tpuflow.ops.warp_pallas)
+        return u, v, {"iterations": nsors, "error": errs,
+                      "warp_overflow_tiles": jnp.sum(oflows)}
     return u, v
 
 
