@@ -95,11 +95,17 @@ def _parallel_prewarm():
 
 
 def _time(run, n=5):
+    """Mean seconds over n reps (after one warm call) plus the raw
+    per-rep list — the artifact carries the repeat statistics so
+    ~10%-level comparisons between rounds don't rest on one mean
+    (VERDICT r4)."""
     run()  # warmup/compile
-    t0 = time.perf_counter()
+    times = []
     for _ in range(n):
+        t0 = time.perf_counter()
         run()
-    return (time.perf_counter() - t0) / n
+        times.append(time.perf_counter() - t0)
+    return sum(times) / n, times
 
 
 def main():
@@ -139,7 +145,8 @@ def main():
     base_tvl1 = base.get("tvl1flow")
     base_hs = base.get("horn_schunck_pyramidal")
 
-    fps = B / _time(run_tvl1)
+    t_mean, t_reps = _time(run_tvl1)
+    fps = B / t_mean
     # insurance: flush the headline before benching the extras, so even
     # a hard timeout records the north-star number
     print(json.dumps({
@@ -150,8 +157,10 @@ def main():
         "extra": {"partial": True},
     }), flush=True)
 
-    fps_fixed = B / _time(run_tvl1_fixed)
-    fps_hs = B / _time(run_hs)
+    tf_mean, tf_reps = _time(run_tvl1_fixed)
+    th_mean, th_reps = _time(run_hs)
+    fps_fixed = B / tf_mean
+    fps_hs = B / th_mean
 
     print(json.dumps({
         "metric": "tvl1_fields_per_sec_1024x436",
@@ -165,6 +174,11 @@ def main():
                 round(fps_hs / base_hs, 2) if base_hs else None,
             "reference_cpu_tvl1": base_tvl1,
             "reference_cpu_hs": base_hs,
+            "rep_ms": {
+                "tvl1": [round(t * 1e3, 2) for t in t_reps],
+                "tvl1_fixed": [round(t * 1e3, 2) for t in tf_reps],
+                "hs": [round(t * 1e3, 2) for t in th_reps],
+            },
         },
     }), flush=True)
 
