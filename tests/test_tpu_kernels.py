@@ -260,3 +260,38 @@ def test_hs_fixed_schedule_matches_error_mode():
     u_f, v_f = hs_pyramidal_batched(I0, I1, stop="fixed")
     epe = np.hypot(np.asarray(u_f - u_e), np.asarray(v_f - v_e)).mean()
     assert epe < 0.05, epe
+
+
+def test_brox_sor_kernel_compiled():
+    """r5: the fused Brox/robust_expo red-black SOR kernel
+    (tpuflow.ops.brox_pallas) compiled on the chip vs the XLA sweep at
+    a bench-like level size — same ordering, so agreement is
+    float-level."""
+    from tpuflow.models.brox_spatial import (_red_black, _sor_solve,
+                                             psi_divergence)
+
+    rng = np.random.default_rng(5)
+    ny, nx = 218, 512
+
+    def plane(scale=1.0, off=0.0):
+        return jnp.asarray(rng.standard_normal((ny, nx)) * scale + off,
+                           jnp.float32)
+
+    psis = 1.0 / jnp.sqrt(jnp.abs(plane()) + 0.3)
+    psi1, psi2, psi3, psi4 = psi_divergence(psis)
+    alpha = 50.0
+    div_d = alpha * (psi1 + psi2 + psi3 + psi4)
+    args = (plane(2.0), plane(2.0),
+            jnp.abs(plane()) + div_d + 0.5, jnp.abs(plane()) + div_d + 0.5,
+            plane(0.3))
+    du, dv = plane(0.1), plane(0.1)
+    colors = _red_black((ny, nx))
+    ref = _sor_solve(du, dv, *args, alpha, (psi1, psi2, psi3, psi4),
+                     colors, 1e-3, ny * nx, "error", 40, fused=False)
+    got = _sor_solve(du, dv, *args, alpha, (psi1, psi2, psi3, psi4),
+                     colors, 1e-3, ny * nx, "error", 40, fused=True)
+    assert int(got[2]) == int(ref[2])
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=0, atol=5e-4)

@@ -69,7 +69,13 @@ def tvl1_iter_schedule(ny, nx):
     if px <= 218 * 512:
         return (8, 3, 3, 3, 3)
     return (20, 3, 6, 3, 3)
-PALLAS_MIN_PIXELS = 96 * 96
+# minimum level size for the fused Pallas path; below it the XLA
+# shift/while path wins on kernel-launch overhead.  Overridable for
+# experiments (tools/tpu_exp/r5_small.py measured the crossover).
+import os as _os
+
+PALLAS_MIN_PIXELS = int(_os.environ.get("TPUFLOW_PALLAS_MIN_PIXELS",
+                                        96 * 96))
 # relative-window residual budget / tile for the fused warp kernels
 # (tools/tpu_exp/r3_warpsweep.log: D=8 tile=(32,512) rbud=2 = 497 us/sample)
 WARP_RBUD = 2

@@ -103,15 +103,49 @@ def _sor_sweep(du, dv, Au, Av, Du, Dv, D, alpha, psis, colors):
 
 
 def _sor_solve(du, dv, Au, Av, Du, Dv, D, alpha, psis, colors, tol, size,
-               stop, maxiter=MAXITER_SOR):
+               stop, maxiter=MAXITER_SOR, fused=None):
     """Run SOR sweeps with the reference stopping rule
     `sqrt(err/size) > TOL && nsor < 300`
     (src/brox_optic_flow_spatial.cpp:315-389).  Returns
     (du, dv, nsor, err) — the sweep count and final error are the
     scalars the reference prints when verbose (`Iterations: nsor`,
     :392-394; robust_expo also prints the error,
-    src/robust_expo_methods.cpp:402-404)."""
+    src/robust_expo_methods.cpp:402-404).
+
+    `fused` routes the solve through the whole-level-in-VMEM Pallas
+    kernel (tpuflow.ops.brox_pallas — same red-black ordering, stopping
+    checked in-kernel per sweep): default on TPU for levels big enough
+    to matter, forceable for interpret-mode parity tests.  The XLA path
+    round-trips ~11 planes through HBM per sweep, which left
+    brox_spatial at ~1.8x the reference binary in the r5 all-seven
+    bench."""
     dtype = du.dtype
+    if fused is None:
+        fused = (jax.default_backend() == "tpu" and du.ndim == 2
+                 and du.shape[-2] * du.shape[-1] >= 96 * 96)
+    if fused:
+        from tpuflow.ops.brox_pallas import (brox_sor_error_quarters,
+                                             fits_vmem_brox)
+        ny, nx = du.shape[-2:]
+        if fits_vmem_brox(ny, nx):
+            from tpuflow.ops.hs_pallas import (from_quarters, pad_hw_q,
+                                               to_quarters)
+
+            psi1, psi2, psi3, psi4 = psis
+            state_q = to_quarters(pad_hw_q(jnp.stack([du, dv])[None]))
+            const_q = to_quarters(pad_hw_q(jnp.stack(
+                [Au, Av, Du, Dv, D, psi1, psi2, psi3, psi4])[None]))
+            if stop == "error":
+                thresh = jnp.asarray(tol * tol * size, dtype)
+            else:
+                thresh = jnp.asarray(-1.0, dtype)
+            out_q, err_raw, nsor = brox_sor_error_quarters(
+                state_q, const_q, ny, nx, thresh,
+                jnp.asarray(maxiter, jnp.int32), float(alpha),
+                omega=SOR_OMEGA)
+            out = from_quarters(out_q)[0, :, :ny, :nx]
+            return (out[0], out[1], nsor[0],
+                    jnp.sqrt(err_raw[0] / size))
     if stop == "error":
         def cond(c):
             return (c[2] > tol) & (c[3] < maxiter)

@@ -29,7 +29,8 @@ def _configure_cache():
     configure_cache()
 
 
-SPATIAL_METHODS = ("occflow", "robust_expo", "brox_spatial")
+SPATIAL_METHODS = ("occflow", "robust_expo", "brox_spatial",
+                   "brox_temporal")
 
 
 def _spatial_levels(method, ny, nx):
@@ -41,10 +42,12 @@ def _spatial_levels(method, ny, nx):
     from tpuflow.ops import clamp_nscales
     from tpuflow.ops.pyramid import pyramid_sizes
 
-    defaults = {"occflow": 100, "robust_expo": 10, "brox_spatial": 10}
-    ns = clamp_nscales(nx, ny, 0.5, defaults[method], use_hypot=False)
-    sizes = pyramid_sizes(nx, ny, 0.5, ns)
-    return [(s, (cny, cnx), max(3, math.ceil(8 * 0.5 ** s)))
+    defaults = {"occflow": 100, "robust_expo": 10, "brox_spatial": 10,
+                "brox_temporal": 100}
+    zf = 0.75 if method == "brox_temporal" else 0.5
+    ns = clamp_nscales(nx, ny, zf, defaults[method], use_hypot=False)
+    sizes = pyramid_sizes(nx, ny, zf, ns)
+    return [(s, (cny, cnx), max(3, math.ceil(8 * zf ** s)))
             for s, (cnx, cny) in enumerate(sizes)]
 
 
@@ -89,17 +92,30 @@ def _warm_one(method, B, ny, nx, scale=None):
                     "error", 20, with_diag=False, warp_mode="fast",
                     dmax=dmax).compile()
             elif method == "robust_expo":
-                # static args of models/robust_expo.py solve()
-                # (alpha_adapted = int(50 * nz) = 50.0 for grayscale)
+                # static args of models/robust_expo.py solve(); the
+                # driver promotes grayscale to a (1, H, W) channel
+                # plane (alpha_adapted = int(50 * nz) = 50.0)
                 from tpuflow.models.robust_expo import _robust_expo_scale_jit
+                C = L[None]
                 _robust_expo_scale_jit.lower(
-                    L, L, L, L, 1, 50.0, 10.0, 0.2, 1e-4, 1, 15, "error",
+                    C, C, L, L, 1, 50.0, 10.0, 0.2, 1e-4, 1, 15, "error",
                     300, with_diag=False, warp_mode="fast",
                     dmax=dmax).compile()
-            else:  # brox_spatial — models/brox_spatial.py solve()
+            elif method == "brox_spatial":
+                # models/brox_spatial.py solve()
                 from tpuflow.models.brox_spatial import _brox_scale_jit
                 _brox_scale_jit.lower(
                     L, L, L, L, 50.0, 10.0, 1e-4, 1, 15, "error", 300,
+                    with_diag=False, warp_mode="fast",
+                    dmax=dmax).compile()
+            else:  # brox_temporal — models/brox_temporal.py solve();
+                # the warm-up geometry's B slot carries the FRAME count
+                from tpuflow.models.brox_temporal import (
+                    _brox_temporal_scale_jit)
+                V = jnp.zeros((B, cny, cnx), jnp.float32)
+                F = jnp.zeros((B - 1, cny, cnx), jnp.float32)
+                _brox_temporal_scale_jit.lower(
+                    V, F, F, 18.0, 7.0, 1e-4, 1, 15, "error", 300,
                     with_diag=False, warp_mode="fast",
                     dmax=dmax).compile()
     else:
@@ -114,10 +130,11 @@ def warmup(geometries=((16, 436, 1024),), methods=("tvl1", "hs"),
 
     methods: any of "tvl1"/"hs" (batched engines: one subprocess per
     (method, geometry), whole pyramid in one program; B used) and
-    "occflow"/"robust_expo"/"brox_spatial" (single-pair multiscale
-    spatial configs at CLI defaults: one subprocess PER PYRAMID LEVEL,
-    B ignored — the 1080p/4K first-call compiles that previously paid a
-    serial ~4 min, VERDICT r4 item 4).
+    "occflow"/"robust_expo"/"brox_spatial"/"brox_temporal"
+    (single-pair multiscale spatial configs at CLI defaults: one
+    subprocess PER PYRAMID LEVEL, B ignored — the 1080p/4K first-call
+    compiles that previously paid a serial ~4 min, VERDICT r4 item 4).
+    For brox_temporal the geometry's B slot is the FRAME count.
 
     Call once per deployment shape, e.g.::
 
@@ -153,11 +170,19 @@ def warmup(geometries=((16, 436, 1024),), methods=("tvl1", "hs"),
                        os.environ.get("PYTHONPATH", "").split(os.pathsep)
                        if p]))))
     deadline = time.time() + timeout
-    for p in procs:
+    failed = 0
+    for p, job in zip(procs, jobs):
         try:
-            p.wait(timeout=max(1, deadline - time.time()))
+            rc = p.wait(timeout=max(1, deadline - time.time()))
         except subprocess.TimeoutExpired:
             p.kill()
+            rc = -1
+        if rc != 0:
+            failed += 1
+            print(f"warmup: job {job} exited rc={rc}", file=sys.stderr)
+    if failed:
+        print(f"warmup: {failed}/{len(procs)} jobs failed "
+              "(run with verbose=True for their output)", file=sys.stderr)
     return time.perf_counter() - t0
 
 
