@@ -19,7 +19,7 @@ configure_cache()
 import jax.numpy as jnp
 import numpy as np
 from bench import B, synth_pair
-from tpuflow.models.batch import tvl1_batched, PALLAS_MIN_PIXELS
+from tpuflow.models.batch import tvl1_batched, pallas_min_pixels
 
 I0 = jnp.asarray(np.stack([synth_pair(seed=100+s)[0] for s in range(B)]))
 I1 = jnp.asarray(np.stack([synth_pair(seed=100+s)[1] for s in range(B)]))
@@ -33,7 +33,7 @@ times = []
 for _ in range(5):
     t0 = time.perf_counter(); run(); times.append(time.perf_counter()-t0)
 m = sum(times)/len(times)
-print(f"threshold={{PALLAS_MIN_PIXELS}}: {{m*1e3:.1f}} ms -> "
+print(f"threshold={{pallas_min_pixels()}}: {{m*1e3:.1f}} ms -> "
       f"{{B/m:.1f}} fields/s  reps={{[round(t*1e3,1) for t in times]}}",
       flush=True)
 """.format(root=ROOT)

@@ -30,6 +30,7 @@ to pure-XLA compute (kernel launch overhead dominates there).
 """
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -69,13 +70,20 @@ def tvl1_iter_schedule(ny, nx):
     if px <= 218 * 512:
         return (8, 3, 3, 3, 3)
     return (20, 3, 6, 3, 3)
-# minimum level size for the fused Pallas path; below it the XLA
-# shift/while path wins on kernel-launch overhead.  Overridable for
-# experiments (tools/tpu_exp/r5_small.py measured the crossover).
-import os as _os
-
-PALLAS_MIN_PIXELS = int(_os.environ.get("TPUFLOW_PALLAS_MIN_PIXELS",
-                                        96 * 96))
+# minimum level size for the fused Pallas path.  The r5 sweep
+# (tools/tpu_exp/r5_small.py) showed the fused kernels beat the XLA
+# shift/while path at EVERY pyramid level on the chip — the small
+# levels' thousands of micro-fusions cost more than kernel launches
+# (388 -> 446 fields/s moving the threshold 96*96 -> 128) — so on TPU
+# only the sub-(8,128)-tile floor remains.  Off-TPU (the interpret-
+# mode CPU test lane) small levels keep the XLA path: interpreted
+# kernels are orders slower than compiled XLA.  Env-overridable for
+# experiments.
+def pallas_min_pixels():
+    env = os.environ.get("TPUFLOW_PALLAS_MIN_PIXELS")
+    if env is not None:
+        return int(env)
+    return 128 if jax.default_backend() == "tpu" else 96 * 96
 # relative-window residual budget / tile for the fused warp kernels
 # (tools/tpu_exp/r3_warpsweep.log: D=8 tile=(32,512) rbud=2 = 497 us/sample)
 WARP_RBUD = 2
@@ -102,7 +110,7 @@ def _warp3(I1, I1x, I1y, u1, u2, dmax):
     flows.  Pallas kernel on big levels (batch = grid dimension), XLA
     shift-select on small ones (kernel launch overhead dominates)."""
     planes = jnp.stack([I1, I1x, I1y], axis=1)  # (B, 3, H, W)
-    if I1.shape[-2] * I1.shape[-1] >= PALLAS_MIN_PIXELS:
+    if I1.shape[-2] * I1.shape[-1] >= pallas_min_pixels():
         w = warp_planes_pallas_batched(planes, u1, u2, dmax)
     else:
         w = jax.vmap(lambda p, a, b: warp_planes_shift(p, a, b, dmax))(
@@ -112,7 +120,7 @@ def _warp3(I1, I1x, I1y, u1, u2, dmax):
 
 def _use_fused(shape):
     ny, nx = shape[-2:]
-    return ny * nx >= PALLAS_MIN_PIXELS and fits_vmem(ny, nx)
+    return ny * nx >= pallas_min_pixels() and fits_vmem(ny, nx)
 
 
 

@@ -254,7 +254,8 @@ def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
                   outer_iter=DEFAULT_OUTER, stop="error",
                   maxiter=MAXITER_SOR, clamp_scales=True,
                   level_callback=None, resume=None, verbose=False,
-                  with_diag=False, warp_mode="auto", max_motion=8):
+                  with_diag=False, warp_mode="auto", max_motion=8,
+                  _whole=True):
     """Multiscale spatio-temporal Brox flow (reference
     brox_optic_flow_temporal, src/brox_optic_flow_temporal.cpp:520-626).
 
@@ -282,6 +283,13 @@ def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
     if frames <= 2:
         raise ValueError("The method needs more than two frames "
                          "(src/brox_optic_flow_temporal.cpp:537)")
+    if (_whole and not verbose and not with_diag and level_callback is None
+            and resume is None and jax.default_backend() == "tpu"):
+        # whole pyramid as ONE device program (r5: the per-level host
+        # loop paid hundreds of ms of tunnel dispatch per solve)
+        return _brox_temporal_whole(I, alpha, gamma, nscales, zfactor, tol,
+                                    inner_iter, outer_iter, stop, maxiter,
+                                    clamp_scales, warp_mode, max_motion)
     if clamp_scales:
         # reference main clamps on min(nx, ny) >= 16
         # (src/brox_temporal_main.cpp:141-147)
@@ -335,3 +343,18 @@ def brox_temporal(I, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
     if with_diag:
         return state["u1"], state["u2"], diags
     return state["u1"], state["u2"]
+
+
+@partial(jax.jit, static_argnames=("alpha", "gamma", "nscales", "zfactor",
+                                   "tol", "inner_iter", "outer_iter",
+                                   "stop", "maxiter", "clamp_scales",
+                                   "warp_mode", "max_motion"))
+def _brox_temporal_whole(I, alpha, gamma, nscales, zfactor, tol, inner_iter,
+                         outer_iter, stop, maxiter, clamp_scales, warp_mode,
+                         max_motion):
+    """The whole coarse-to-fine solve as ONE device program."""
+    return brox_temporal(I, alpha=alpha, gamma=gamma, nscales=nscales,
+                         zfactor=zfactor, tol=tol, inner_iter=inner_iter,
+                         outer_iter=outer_iter, stop=stop, maxiter=maxiter,
+                         clamp_scales=clamp_scales, warp_mode=warp_mode,
+                         max_motion=max_motion, _whole=False)

@@ -265,7 +265,7 @@ def robust_expo(I1, I2, method_type=DEFAULT_METHOD, alpha=DEFAULT_ALPHA,
                 maxiter=MAXITER_SOR, clamp_scales=True,
                 presmooth_mode="reference", level_callback=None,
                 resume=None, verbose=False, with_diag=False,
-                warp_mode="auto", max_motion=8):
+                warp_mode="auto", max_motion=8, _whole=True):
     """Multiscale robust-expo flow (reference robust_expo_methods
     multiscale overload, src/robust_expo_methods.cpp:462-566).
 
@@ -285,6 +285,15 @@ def robust_expo(I1, I2, method_type=DEFAULT_METHOD, alpha=DEFAULT_ALPHA,
     from tpuflow.ops.interp import resolve_warp_mode
 
     warp_mode = resolve_warp_mode(warp_mode)
+    if (_whole and not verbose and not with_diag and level_callback is None
+            and resume is None and jax.default_backend() == "tpu"):
+        # whole pyramid as ONE device program (r5: the per-level host
+        # loop paid hundreds of ms of tunnel dispatch per solve)
+        return _robust_expo_whole(I1, I2, method_type, alpha, gamma, lam,
+                                  nscales, zfactor, tol, inner_iter,
+                                  outer_iter, stop, maxiter, clamp_scales,
+                                  presmooth_mode, warp_mode, max_motion)
+
     if I1.ndim == 2:
         I1 = I1[None]
         I2 = I2[None]
@@ -341,3 +350,22 @@ def robust_expo(I1, I2, method_type=DEFAULT_METHOD, alpha=DEFAULT_ALPHA,
     if with_diag:
         return state["u1"], state["u2"], diags
     return state["u1"], state["u2"]
+
+
+@partial(jax.jit, static_argnames=("method_type", "alpha", "gamma", "lam",
+                                   "nscales", "zfactor", "tol",
+                                   "inner_iter", "outer_iter", "stop",
+                                   "maxiter", "clamp_scales",
+                                   "presmooth_mode", "warp_mode",
+                                   "max_motion"))
+def _robust_expo_whole(I1, I2, method_type, alpha, gamma, lam, nscales,
+                       zfactor, tol, inner_iter, outer_iter, stop, maxiter,
+                       clamp_scales, presmooth_mode, warp_mode, max_motion):
+    """The whole coarse-to-fine solve as ONE device program."""
+    return robust_expo(I1, I2, method_type=method_type, alpha=alpha,
+                       gamma=gamma, lam=lam, nscales=nscales,
+                       zfactor=zfactor, tol=tol, inner_iter=inner_iter,
+                       outer_iter=outer_iter, stop=stop, maxiter=maxiter,
+                       clamp_scales=clamp_scales,
+                       presmooth_mode=presmooth_mode, warp_mode=warp_mode,
+                       max_motion=max_motion, _whole=False)

@@ -290,7 +290,8 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
                 warps=DEFAULT_WARPS, epsilon=DEFAULT_EPSILON, stop="error",
                 max_iterations=EXT_MAX_ITERATIONS, clamp_scales=True,
                 level_callback=None, resume=None, verbose=False,
-                with_diag=False, warp_mode="auto", max_motion=8):
+                with_diag=False, warp_mode="auto", max_motion=8,
+                _whole=True):
     """Multiscale joint flow + occlusion estimation
     (Dual_TVL1_optic_flow_multiscale, src/tvl1occflow.cpp:335-481).
 
@@ -320,6 +321,14 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
     warp_mode = resolve_warp_mode(warp_mode)
     if filt_i0 is None:
         filt_i0 = I0
+    if (_whole and not verbose and not with_diag and level_callback is None
+            and resume is None and jax.default_backend() == "tpu"):
+        # whole pyramid as ONE device program (r5: the per-level host
+        # loop paid hundreds of ms of tunnel dispatch per solve)
+        return _tvl1occflow_whole(Im1, I0, I1, filt_i0, lam, alpha, beta,
+                                  theta, nscales, zfactor, warps, epsilon,
+                                  stop, max_iterations, clamp_scales,
+                                  warp_mode, max_motion)
     ny, nx = I0.shape[-2:]
     if clamp_scales:
         # reference main clamps on min(nx, ny) >= 16
@@ -376,3 +385,20 @@ def tvl1occflow(Im1, I0, I1, filt_i0=None, lam=DEFAULT_LAMBDA,
     if with_diag:
         return state["u1"], state["u2"], chi, diags
     return state["u1"], state["u2"], chi
+
+
+@partial(jax.jit, static_argnames=("lam", "alpha", "beta", "theta",
+                                   "nscales", "zfactor", "warps",
+                                   "epsilon", "stop", "max_iterations",
+                                   "clamp_scales", "warp_mode",
+                                   "max_motion"))
+def _tvl1occflow_whole(Im1, I0, I1, filt_i0, lam, alpha, beta, theta,
+                       nscales, zfactor, warps, epsilon, stop,
+                       max_iterations, clamp_scales, warp_mode, max_motion):
+    """The whole coarse-to-fine solve as ONE device program."""
+    return tvl1occflow(Im1, I0, I1, filt_i0, lam=lam, alpha=alpha,
+                       beta=beta, theta=theta, nscales=nscales,
+                       zfactor=zfactor, warps=warps, epsilon=epsilon,
+                       stop=stop, max_iterations=max_iterations,
+                       clamp_scales=clamp_scales, warp_mode=warp_mode,
+                       max_motion=max_motion, _whole=False)

@@ -33,32 +33,13 @@ SPATIAL_METHODS = ("occflow", "robust_expo", "brox_spatial",
                    "brox_temporal")
 
 
-def _spatial_levels(method, ny, nx):
-    """(scale, (cny, cnx), dmax) rows for a spatial method's pyramid at
-    CLI-default parameters — one warm-up unit per level, mirroring the
-    per-level jits of the host pyramid loop (models/*.py solve())."""
-    import math
-
-    from tpuflow.ops import clamp_nscales
-    from tpuflow.ops.pyramid import pyramid_sizes
-
-    defaults = {"occflow": 100, "robust_expo": 10, "brox_spatial": 10,
-                "brox_temporal": 100}
-    zf = 0.75 if method == "brox_temporal" else 0.5
-    ns = clamp_nscales(nx, ny, zf, defaults[method], use_hypot=False)
-    sizes = pyramid_sizes(nx, ny, zf, ns)
-    return [(s, (cny, cnx), max(3, math.ceil(8 * zf ** s)))
-            for s, (cnx, cny) in enumerate(sizes)]
-
-
 def _warm_one(method, B, ny, nx, scale=None):
-    """AOT-compile one method's program (subprocess entry).
-
-    For the batched engines (tvl1/hs) this is the whole-pyramid jit;
-    for the spatial multiscale methods (occflow/robust_expo/brox) it is
-    ONE level's jit (`scale`) with exactly the static arguments the
-    host pyramid driver passes, so the driver's first call loads every
-    level from the cache."""
+    """AOT-compile one method's default whole-pyramid program
+    (subprocess entry) with exactly the static arguments the public
+    driver passes at CLI defaults, so a cold process's first call loads
+    the executable from the persistent cache instead of compiling.
+    `scale` is accepted for CLI compatibility and unused (r5 moved the
+    spatial methods from per-level jits to one whole-pyramid jit)."""
     _configure_cache()
     import jax.numpy as jnp
 
@@ -80,44 +61,31 @@ def _warm_one(method, B, ny, nx, scale=None):
         mb._hs_batched_jit.lower(I, I, 7.0, ns, 0.5, 8, tb, caps,
                                  jnp.asarray(2, jnp.int32)).compile()
     elif method in SPATIAL_METHODS:
-        rows = _spatial_levels(method, ny, nx)
-        rows = [r for r in rows if scale is None or r[0] == scale]
-        for s, (cny, cnx), dmax in rows:
-            L = jnp.zeros((cny, cnx), jnp.float32)
-            if method == "occflow":
-                # static args of models/tvl1occflow.py solve()
-                from tpuflow.models.tvl1occflow import _tvl1occ_scale_jit
-                _tvl1occ_scale_jit.lower(
-                    L, L, L, L, L, L, L, 0.15, 0.01, 0.15, 0.3, 2, 0.01,
-                    "error", 20, with_diag=False, warp_mode="fast",
-                    dmax=dmax).compile()
-            elif method == "robust_expo":
-                # static args of models/robust_expo.py solve(); the
-                # driver promotes grayscale to a (1, H, W) channel
-                # plane (alpha_adapted = int(50 * nz) = 50.0)
-                from tpuflow.models.robust_expo import _robust_expo_scale_jit
-                C = L[None]
-                _robust_expo_scale_jit.lower(
-                    C, C, L, L, 1, 50.0, 10.0, 0.2, 1e-4, 1, 15, "error",
-                    300, with_diag=False, warp_mode="fast",
-                    dmax=dmax).compile()
-            elif method == "brox_spatial":
-                # models/brox_spatial.py solve()
-                from tpuflow.models.brox_spatial import _brox_scale_jit
-                _brox_scale_jit.lower(
-                    L, L, L, L, 50.0, 10.0, 1e-4, 1, 15, "error", 300,
-                    with_diag=False, warp_mode="fast",
-                    dmax=dmax).compile()
-            else:  # brox_temporal — models/brox_temporal.py solve();
-                # the warm-up geometry's B slot carries the FRAME count
-                from tpuflow.models.brox_temporal import (
-                    _brox_temporal_scale_jit)
-                V = jnp.zeros((B, cny, cnx), jnp.float32)
-                F = jnp.zeros((B - 1, cny, cnx), jnp.float32)
-                _brox_temporal_scale_jit.lower(
-                    V, F, F, 18.0, 7.0, 1e-4, 1, 15, "error", 300,
-                    with_diag=False, warp_mode="fast",
-                    dmax=dmax).compile()
+        # the default TPU surface is the WHOLE-pyramid jit (r5 — no
+        # host round-trip between levels); warm exactly that program
+        # with the CLI-default statics
+        L = jnp.zeros((ny, nx), jnp.float32)
+        if method == "occflow":
+            from tpuflow.models.tvl1occflow import _tvl1occflow_whole
+            _tvl1occflow_whole.lower(
+                L, L, L, L, 0.15, 0.01, 0.15, 0.3, 100, 0.5, 2, 0.01,
+                "error", 20, True, "fast", 8).compile()
+        elif method == "robust_expo":
+            from tpuflow.models.robust_expo import _robust_expo_whole
+            _robust_expo_whole.lower(
+                L, L, 1, 50.0, 10.0, 0.2, 10, 0.5, 1e-4, 1, 15, "error",
+                300, True, "reference", "fast", 8).compile()
+        elif method == "brox_spatial":
+            from tpuflow.models.brox_spatial import _brox_spatial_whole
+            _brox_spatial_whole.lower(
+                L, L, 50.0, 10.0, 10, 0.5, 1e-4, 1, 15, "error", 300,
+                True, "fast", 8).compile()
+        else:  # brox_temporal — the geometry's B slot = FRAME count
+            from tpuflow.models.brox_temporal import _brox_temporal_whole
+            V = jnp.zeros((B, ny, nx), jnp.float32)
+            _brox_temporal_whole.lower(
+                V, 18.0, 7.0, 100, 0.75, 1e-4, 1, 15, "error", 300,
+                True, "fast", 8).compile()
     else:
         raise ValueError(f"unknown method {method!r}")
 
@@ -131,10 +99,11 @@ def warmup(geometries=((16, 436, 1024),), methods=("tvl1", "hs"),
     methods: any of "tvl1"/"hs" (batched engines: one subprocess per
     (method, geometry), whole pyramid in one program; B used) and
     "occflow"/"robust_expo"/"brox_spatial"/"brox_temporal"
-    (single-pair multiscale spatial configs at CLI defaults: one
-    subprocess PER PYRAMID LEVEL, B ignored — the 1080p/4K first-call
-    compiles that previously paid a serial ~4 min, VERDICT r4 item 4).
-    For brox_temporal the geometry's B slot is the FRAME count.
+    (single-pair multiscale spatial configs at CLI defaults: the
+    whole-pyramid program, B ignored — addresses the 1080p/4K
+    first-call compiles that previously paid a serial ~4 min, VERDICT
+    r4 item 4).  For brox_temporal the geometry's B slot is the FRAME
+    count.
 
     Call once per deployment shape, e.g.::
 
@@ -148,14 +117,7 @@ def warmup(geometries=((16, 436, 1024),), methods=("tvl1", "hs"),
     jobs = []
     for method in methods:
         for (B, ny, nx) in geometries:
-            if method in SPATIAL_METHODS:
-                # one subprocess per pyramid level: the expensive
-                # level-0/1 XLA+Mosaic compiles of different methods
-                # overlap instead of serializing (r5, VERDICT item 4)
-                for s, _, _ in _spatial_levels(method, ny, nx):
-                    jobs.append((method, B, ny, nx, s))
-            else:
-                jobs.append((method, B, ny, nx, None))
+            jobs.append((method, B, ny, nx, None))
     for (method, B, ny, nx, s) in jobs:
         args = [method, str(B), str(ny), str(nx)]
         if s is not None:
