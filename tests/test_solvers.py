@@ -76,3 +76,26 @@ def test_tvl1_fixed_iteration_mode(solver_goldens):
     epe_fix = _epe(u1b, u2b, g["true_u"], g["true_v"])
     assert np.isfinite(epe_fix)
     assert epe_fix < max(2.0 * epe_err, 0.5)
+
+
+def test_hs_classic_fused_matches_xla():
+    """The whole-image-in-VMEM classic-HS kernel (r5,
+    tpuflow.ops.hs_classic_pallas) vs the XLA Jacobi loop — identical
+    iteration, so agreement is float-level (interpret mode on CPU)."""
+    import numpy as np
+    from scipy.ndimage import gaussian_filter
+
+    from tpuflow.models.hs_classic import hs_classic
+
+    rng = np.random.default_rng(2)
+    ny, nx = 96, 128
+    base = gaussian_filter(rng.standard_normal((ny, nx + 2)), 2.5)
+    base = base * 100 + 128
+    a = jnp.asarray(base[:, :nx], jnp.float32)
+    b = jnp.asarray(base[:, 2:nx + 2], jnp.float32)
+    u_x, v_x = hs_classic(a, b, 30, 7.0, fused=False)
+    u_f, v_f = hs_classic(a, b, 30, 7.0, fused=True)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_x),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_x),
+                               rtol=0, atol=1e-4)

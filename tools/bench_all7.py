@@ -77,13 +77,10 @@ def main():
     print("hs_pyr", out["horn_schunck_pyramidal"], flush=True)
 
     # 3: classic HS (no pyramid; IPOL-typical niter=100 alpha=7),
-    # batched with vmap — it is a pure fixed-iteration stencil
-    from tpuflow.models.hs_classic import hs_classic_jit
+    # batched through the fused whole-image-in-VMEM kernel (r5)
+    from tpuflow.models.hs_classic import hs_classic_batched
 
-    import jax
-
-    hsb = jax.jit(jax.vmap(lambda a, b: hs_classic_jit(a, b, 100, 7.0)))
-    t, first = steady(lambda: hsb(I0b, I1b))
+    t, first = steady(lambda: hs_classic_batched(I0b, I1b, 100, 7.0))
     out["horn_schunck_classic"] = {
         "batch": B, "niter": 100, "alpha": 7.0, "s_per_batch": t,
         "fields_per_s": B / t, "first_call_s": first}

@@ -84,10 +84,19 @@ def pallas_min_pixels():
     if env is not None:
         return int(env)
     return 128 if jax.default_backend() == "tpu" else 96 * 96
-# relative-window residual budget / tile for the fused warp kernels
-# (tools/tpu_exp/r3_warpsweep.log: D=8 tile=(32,512) rbud=2 = 497 us/sample)
-WARP_RBUD = 2
+# relative-window residual budget / tile for the fused warp kernels.
+# r5 re-sweep UNDER double buffering (tools/tpu_exp/r5_warptile.py):
+# rbud=1 beats 2 by ~30% at every tile (7.5 vs 10.1 ms/call at level 0,
+# tile (32,512)); two +-1 end-anchored windows still cover any smooth
+# spread <= 5 px plus two-cluster tiles, and degradation stays
+# observable via with_stats.  Rows pad to 32 so the preferred tile
+# divides (436 -> 448; the r3-era (8,128) padding forced th=8).
+WARP_RBUD = 1
 WARP_TILE = (32, 512)
+
+
+def _pad32(ny):
+    return -(-ny // 32) * 32
 
 
 def _normalize_pair_batched(I0, I1):
@@ -168,9 +177,9 @@ def tvl1_scale_batched(I0, I1, u1, u2, dmax, tau, lam, theta, thresh, caps,
         ee = jnp.asarray(2, jnp.int32)
 
     if big:
-        state_p = pad_hw(state)
+        state_p = pad_hw(state, _pad32(ny))
         I1s = jnp.stack([I1, I1x, I1y], axis=1)
-        aux_p = pad_hw(I0)
+        aux_p = pad_hw(I0, _pad32(ny))
         Hp, Wp = state_p.shape[-2:]
         tile = pick_tile(Hp, Wp, WARP_TILE)
 

@@ -46,9 +46,24 @@ def _bar(u):
     return (l + r + up + dn) / 6.0 + (ul + ur + dl + dr) / 12.0
 
 
-def hs_classic(a, b, niter, alpha):
+def hs_classic(a, b, niter, alpha, fused=None):
     """n iterations of classic Horn-Schunck (reference `hs`,
-    src/horn_schunck_classic.cpp:125-149).  Returns (u, v)."""
+    src/horn_schunck_classic.cpp:125-149).  Returns (u, v).
+
+    `fused` routes the Jacobi solve through the whole-image-in-VMEM
+    Pallas kernel (tpuflow.ops.hs_classic_pallas; default on TPU —
+    the XLA loop round-trips HBM every iteration and measured only
+    61 fields/s at the bench geometry)."""
+    if fused is None:
+        fused = (jax.default_backend() == "tpu"
+                 and a.shape[-2] * a.shape[-1] >= 128)
+    if fused:
+        from tpuflow.ops.hs_classic_pallas import hs_classic_fused
+
+        Ex, Ey, Et = _input_derivatives(a, b)
+        u, v = hs_classic_fused(Ex[None], Ey[None], Et[None], alpha,
+                                jnp.asarray(niter, jnp.int32))
+        return u[0], v[0]
     Ex, Ey, Et = _input_derivatives(a, b)
     den = alpha * alpha + Ex * Ex + Ey * Ey
 
@@ -67,3 +82,19 @@ def hs_classic(a, b, niter, alpha):
 @partial(jax.jit, static_argnames=("niter", "alpha"))
 def hs_classic_jit(a, b, niter, alpha):
     return hs_classic(a, b, niter, alpha)
+
+
+@partial(jax.jit, static_argnames=("alpha",))
+def hs_classic_batched(a, b, niter, alpha):
+    """Batched classic HS: (B, H, W) pairs -> (B, H, W) flows via the
+    fused kernel (each sample its own grid step); `niter` is a runtime
+    scalar, so iteration-count changes never recompile."""
+    Ex, Ey, Et = jax.vmap(_input_derivatives)(a, b)
+    return hs_classic_fused_route(Ex, Ey, Et, alpha, niter)
+
+
+def hs_classic_fused_route(Ex, Ey, Et, alpha, niter):
+    from tpuflow.ops.hs_classic_pallas import hs_classic_fused
+
+    return hs_classic_fused(Ex, Ey, Et, alpha,
+                            jnp.asarray(niter, jnp.int32))
