@@ -140,7 +140,7 @@ def brox_temporal_scale(I, u, v, alpha=DEFAULT_ALPHA, gamma=DEFAULT_GAMMA,
             from tpuflow.ops.warp_pallas import warp_planes_pallas_batched
 
             w, flags = warp_planes_pallas_batched(planes_b, u, v, dmax,
-                                                  tile=(32, 512), rbud=3,
+                                                  tile=(32, 512), rbud=2,
                                                   fast_only=True,
                                                   with_flags=True)
             return w, jnp.sum(flags, dtype=jnp.int32)

@@ -200,10 +200,14 @@ def warp_planes_bounded(planes, u, v, dmax, interpret=None,
     if fast_only is None:
         fast_only = not os.environ.get("TPUFLOW_WARP_EXACT")
     if rbud is None:
-        # rbud=3 measured best end-to-end (tools/tpu_exp/r4_occ_rbud.py):
-        # wider windows leave fewer degraded pixels, which buys back
-        # outer-loop iterations in the alternating solvers
-        rbud = int(os.environ.get("TPUFLOW_WARP_RBUD", "3"))
+        # r5 re-sweep under the double-buffered kernel
+        # (/tmp sweep logged in tools/tpu_exp/r5_warptile.py family):
+        # rbud=2 runs the brox/robust solvers ~19% faster end-to-end
+        # than r4's rbud=3 with the same oracle EPE; rbud=1 buys only
+        # ~4% more and narrows the coverage window (r4's occ experiment
+        # showed degraded constants cost outer-loop iterations on
+        # occlusion-class content)
+        rbud = int(os.environ.get("TPUFLOW_WARP_RBUD", "2"))
     if border_out and planes.shape[-2] * planes.shape[-1] >= 96 * 96:
         out, flags = warp_planes_pallas_batched(
             planes[None], u[None], v[None], dmax, tile=(32, 512),
