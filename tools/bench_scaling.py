@@ -86,7 +86,8 @@ def batch_sweep_tpu(make_batch, Bs=(1, 2, 4, 8, 16, 32)):
     program compiles+runs)."""
     import time
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpuflow-jax-cache")
+    from tpuflow.utils.cache import configure_cache
+    configure_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     out = {}
     for B in Bs:
