@@ -39,9 +39,12 @@ sys.path.insert(0, _ROOT)
 
 _ARTIFACT = os.path.join(_ROOT, "tools", "baseline_measured.json")
 
-# B=32 sits at the flat top of the single-chip batch-throughput curve
-# (tools/scaling_measured_tpu.json: 171.8 fields/s at B=16, 191.0 at 32)
-B = 32
+# the r5 engine keeps gaining from batch (tools/scaling_measured_tpu
+# .json: 479 fields/s at B=32, 571 at 64, 674 at 128 — the early-exit
+# warp loop synchronizes per level across the batch, so bigger batches
+# amortize both the dispatch floor and the slowest-sample wait); B=128
+# costs ~190 ms latency per batch and ~5 GB HBM, well within one v5e
+B = 128
 NY, NX = 436, 1024
 
 

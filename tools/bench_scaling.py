@@ -76,7 +76,7 @@ def measure_sharding_overhead(step, make_batch, total_batch):
             "devices": len(devices)}
 
 
-def batch_sweep_tpu(make_batch, Bs=(1, 2, 4, 8, 16, 32)):
+def batch_sweep_tpu(make_batch, Bs=(1, 2, 4, 8, 16, 32, 64, 128)):
     """Single-chip scaling signal: per-device throughput vs batch size.
     Real multi-chip DP is pure batch parallelism (independent samples,
     zero cross-device traffic on the hot path), so per-chip throughput
